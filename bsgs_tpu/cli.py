@@ -1,0 +1,182 @@
+"""Command-line solver: TPU-native equivalent of the reference binary.
+
+Flag surface mirrors the reference CLI (README.md:2-16, getprogparam
+1_9_7File.pb:875-1042) with TPU-appropriate geometry knobs:
+
+  reference              here
+  ---------              ----
+  -pb <pubkey>           --pub / -pb
+  -pk / -pke <hex>       --pk / --pke (hex range bounds)
+  -w  <exp|count>        --w   (exponent <= 64, else decimal count)
+  -htsz <bits>           --htsz
+  -t -b -p (batch geo)   --n-offsets (N per job), --jobs-per-epoch (T)
+  -d 1,2,3               --devices (count of mesh chips)
+  -infile <file>         --infile (one pubkey per line, lazy)
+  -wl <file>             --resume <file>
+  -wt <sec>              --checkpoint-interval
+  (win.txt)              --win-file
+  (Tune printout)        --tune
+
+Found keys append to the win file and print to stdout; checkpoints are
+written atomically and refuse to resume across geometry changes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bsgs-tpu",
+        description="TPU-native secp256k1 BSGS range solver",
+    )
+    p.add_argument("--pub", "-pb", help="pubkey hex (02/03/04 or 128-hex)")
+    p.add_argument("--pk", default="1", help="range start (hex)")
+    p.add_argument("--pke", default=None, help="range end (hex)")
+    p.add_argument("--w", default="20", help="baby table size: exponent "
+                   "(<=64, fractional ok) or decimal count")
+    p.add_argument("--htsz", type=int, default=None,
+                   help="hash bucket bits (default: log2(w)-2)")
+    p.add_argument("--n-offsets", type=int, default=None,
+                   help="giant offsets per job (default: tuned)")
+    p.add_argument("--jobs-per-epoch", type=int, default=16)
+    p.add_argument("--window", type=int, default=16)
+    p.add_argument("--devices", type=int, default=None,
+                   help="number of chips to use (default: all)")
+    p.add_argument("--shard-table", action="store_true",
+                   help="shard the baby table across chips (large-w mode)")
+    p.add_argument("--infile", help="file with one pubkey per line")
+    p.add_argument("--resume", "-wl", help="checkpoint file to resume")
+    p.add_argument("--checkpoint-file", default="currentwork.json")
+    p.add_argument("--checkpoint-interval", "-wt", type=float, default=180.0)
+    p.add_argument("--win-file", default="win.txt")
+    p.add_argument("--cache-dir", default=".bsgs_cache",
+                   help="directory for reusable table artifacts")
+    p.add_argument("--tune", action="store_true",
+                   help="print suggested geometry for this device and exit")
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .utils import codecs, checkpoint as ckpt, tuner
+    from .models import solver as smod
+    from .utils import artifacts, ecpy
+
+    if args.tune:
+        t = tuner.tune()
+        print(
+            f"suggested: --w {t.w} --htsz {t.htsz} "
+            f"--n-offsets {t.n_offsets} --jobs-per-epoch {t.jobs_per_epoch}\n"
+            f"  table ~{t.est_table_bytes / 2**20:.0f} MiB, offsets "
+            f"~{t.est_offsets_bytes / 2**20:.0f} MiB, transients "
+            f"~{t.est_transient_bytes / 2**20:.0f} MiB"
+        )
+        return 0
+
+    if not args.pub and not args.infile:
+        print("need --pub or --infile (or --tune)", file=sys.stderr)
+        return 2
+
+    pk = codecs.parse_scalar(args.pk)
+    if args.pke is None:
+        print("need --pke (range end, hex)", file=sys.stderr)
+        return 2
+    pke = codecs.parse_scalar(args.pke)
+    if pke <= pk:
+        print("--pke must be > --pk", file=sys.stderr)
+        return 2
+
+    w = codecs.parse_w(args.w)
+    htsz = args.htsz if args.htsz is not None else max(4, w.bit_length() - 3)
+    n_offsets = args.n_offsets or min(1 << 18, max(256, w // 4))
+
+    cfg = smod.SolverConfig(
+        w=w, htsz=htsz, n_offsets=n_offsets,
+        jobs_per_epoch=args.jobs_per_epoch, window=args.window,
+    )
+    fingerprint = ckpt.config_fingerprint(
+        w=w, htsz=htsz, n_offsets=n_offsets, pk=pk, pke=pke,
+        jobs_per_epoch=args.jobs_per_epoch,
+    )
+
+    pubs = []
+    if args.pub:
+        pubs.append(args.pub)
+    if args.infile:
+        with open(args.infile) as f:
+            pubs.extend(line for line in (l.strip() for l in f) if line)
+
+    start_index, start_epoch = 0, 0
+    if args.resume:
+        ck = ckpt.Checkpoint.load(args.resume, fingerprint)
+        start_index, start_epoch = ck.pub_index, ck.next_epoch
+        if not args.quiet:
+            print(f"resuming at pubkey #{start_index}, epoch {start_epoch}")
+
+    if not args.quiet:
+        print(f"building baby table: w={w} htsz={htsz} ...")
+    baby = artifacts.get_baby_table(
+        w, htsz, window=args.window, cache_dir=args.cache_dir
+    )
+    s = smod.Solver(cfg, baby=baby)
+
+    mesh_solver = None
+    if (args.devices or 0) > 1 or args.shard_table:
+        from .parallel import mesh as pmesh, striped
+        m = pmesh.make_mesh(args.devices)
+        mesh_solver = striped.MeshSolver(
+            s, m, shard_baby_table=args.shard_table
+        )
+
+    writer = ckpt.CheckpointWriter(
+        args.checkpoint_file, fingerprint, args.checkpoint_interval
+    )
+    found = 0
+    t_start = time.time()
+    for idx in range(start_index, len(pubs)):
+        pub_hex = pubs[idx]
+        try:
+            pub = codecs.parse_pubkey(pub_hex)
+        except codecs.PubkeyError as e:
+            print(f"skipping pubkey #{idx}: {e}", file=sys.stderr)
+            continue
+
+        def on_epoch(epoch, steps, _idx=idx, _hex=pub_hex):
+            writer.maybe_write(_idx, _hex, epoch + 1, steps)
+
+        if not args.quiet:
+            rate_note = f" [{idx + 1}/{len(pubs)}]" if len(pubs) > 1 else ""
+            print(f"searching{rate_note} {pub_hex[:24]}... "
+                  f"range [{pk:#x}, {pke:#x}]")
+        if mesh_solver is not None:
+            res = mesh_solver.solve(pub, pk, pke)
+        else:
+            res = s.solve(
+                pub, pk, pke,
+                start_epoch=start_epoch if idx == start_index else 0,
+                on_epoch=on_epoch,
+            )
+        if res.key is not None:
+            found += 1
+            line = f"{res.key:064x} {codecs.format_pubkey(pub)}"
+            with open(args.win_file, "a") as f:
+                f.write(line + "\n")
+            print(f"KEY FOUND: {res.key:#x}")
+        elif not args.quiet:
+            print(f"exhausted range for pubkey #{idx} "
+                  f"({res.giant_steps} giant steps, {res.elapsed_s:.1f}s)")
+        writer.maybe_write(idx + 1, "", 0, 0, force=True)
+    if not args.quiet:
+        dt = time.time() - t_start
+        print(f"done: {found}/{len(pubs) - start_index} keys in {dt:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,181 @@
+"""End-to-end BSGS solver orchestration (single chip).
+
+The TPU-native counterpart of the reference's main program sequence
+(1_9_7File.pb:4387-5177): build/load the baby table and giant offsets, scan
+the key range in epochs of jitted jobs, verify every hit on the host, and
+report the private key. Multi-chip range striping lives in
+bsgs_tpu/parallel (the reference's per-GPU thread + mutex job counter,
+1_9_7File.pb:2077-2092, becomes deterministic epoch striding over a mesh).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import field as F, ec
+from ..utils import ecpy
+from . import checker, giant, table as tbl
+
+
+@dataclasses.dataclass
+class SolverConfig:
+    """Geometry of the scan.
+
+    w: baby-table size (keys covered per giant landing = 2w = stride s).
+    htsz: bucket bits of the hash table (top bits of the 64-bit X prefix).
+    n_offsets: offsets per job (reference t*b*p, README.md:2-16 flags).
+    jobs_per_epoch: scan length per jit call / host sync.
+    """
+
+    w: int
+    htsz: int
+    n_offsets: int
+    jobs_per_epoch: int = 16
+    window: int = 16
+    chunk: int = 256
+    hit_cap: int = 512
+    per_job_cap: int = 32
+    table_tile: int = 1 << 14
+
+    @property
+    def stride(self) -> int:
+        return 2 * self.w
+
+    @property
+    def jobs_span(self) -> int:
+        """Giant indices covered per job."""
+        return 2 * self.n_offsets + 1
+
+    @property
+    def keys_per_epoch(self) -> int:
+        return self.jobs_span * self.jobs_per_epoch * self.stride
+
+
+@dataclasses.dataclass
+class SolveResult:
+    key: Optional[int]
+    giant_steps: int
+    elapsed_s: float
+    epochs: int
+    hits_checked: int
+
+
+class Solver:
+    def __init__(self, cfg: SolverConfig, baby: Optional[tbl.BabyTable] = None):
+        self.cfg = cfg
+        self.baby = baby if baby is not None else tbl.build_baby_table(
+            cfg.w, cfg.htsz, window=cfg.window, tile=cfg.table_tile
+        )
+        # Giant offsets O_j = j*S*G, j = 1..N (device-resident; analog of the
+        # reference g2 buffer, 1_9_7File.pb:1905-2058).
+        s_g = ecpy.mul(cfg.stride)
+        self.ox, self.oy = ec.fill_multiples(s_g, s_g, cfg.n_offsets)
+        # Epoch center stepping: centers advance by -(2N+1)*S*G.
+        self.center_step = ecpy.neg(ecpy.mul(cfg.jobs_span * cfg.stride))
+
+    # -- center generation -------------------------------------------------
+    def epoch_centers(self, q0, first_job: int, n_jobs: int):
+        """Device arrays (x, y, inf) of job-center points M_g = Q0 - c_g*S*G
+        for g = first_job .. first_job + n_jobs - 1.
+
+        If the FIRST center itself is the point at infinity the fill cannot
+        start from it; seed from the next center and mark lane 0 infinite
+        (later infinite lanes are flagged by the fill itself).
+        """
+        cfg = self.cfg
+        c0 = (first_job * cfg.jobs_span + cfg.n_offsets) * cfg.stride
+        m0 = ecpy.sub(q0, ecpy.mul(c0))
+        if m0 is None:
+            m1 = self.center_step  # M_0 + step, exact since M_0 = inf
+            cx, cy, cinf = ec.fill_multiples(
+                m1, self.center_step, max(1, n_jobs - 1), with_inf=True
+            )
+            pad = jnp.asarray(F.to_limbs(0))[None]
+            cx = jnp.concatenate([pad, cx])[:n_jobs]
+            cy = jnp.concatenate([pad, cy])[:n_jobs]
+            cinf = jnp.concatenate([jnp.ones(1, bool), cinf])[:n_jobs]
+            return cx, cy, cinf
+        return ec.fill_multiples(m0, self.center_step, n_jobs, with_inf=True)
+
+    # -- main loop ----------------------------------------------------------
+    def solve(
+        self,
+        pub: tuple,
+        pk: int,
+        pke: int,
+        progress: Optional[Callable] = None,
+        epoch_stride: int = 1,
+        epoch_offset: int = 0,
+        max_epochs: Optional[int] = None,
+        start_epoch: int = 0,
+        on_epoch: Optional[Callable] = None,
+    ) -> SolveResult:
+        """Find k in [pk, pke] with k*G == pub (None key if exhausted).
+
+        epoch_stride/epoch_offset stripe epochs across workers (multi-chip
+        data parallelism replaces the reference's GetJob mutex counter,
+        1_9_7File.pb:2077-2092, with deterministic striding).
+        """
+        cfg = self.cfg
+        assert ecpy.is_on_curve(pub) and pub is not None
+        # Shortcut checks, like the reference's Q==G / Q==2G fast paths
+        # (1_9_7File.pb:5069-5107): k0 == 0 means Q == pk*G.
+        if ecpy.mul(pk) == pub:
+            return SolveResult(pk, 0, 0.0, 0, 0)
+        q0 = ecpy.sub(pub, ecpy.mul(pk))
+
+        r = pke - pk
+        m_max = r // cfg.stride + 1
+        total_jobs = (m_max + cfg.jobs_span) // cfg.jobs_span + 1
+        total_epochs = -(-total_jobs // cfg.jobs_per_epoch)
+
+        steps = 0
+        hits_checked = 0
+        t0 = time.time()
+        epoch = start_epoch * epoch_stride + epoch_offset
+        epochs_run = 0
+        while epoch < total_epochs:
+            if max_epochs is not None and epochs_run >= max_epochs:
+                break
+            first_job = epoch * cfg.jobs_per_epoch
+            cx, cy, cinf = self.epoch_centers(q0, first_job, cfg.jobs_per_epoch)
+            buf, cnt, gs = giant.run_epoch(
+                cx, cy, cinf, self.ox, self.oy,
+                self.baby.offsets, self.baby.disc,
+                htsz=cfg.htsz, window=cfg.window, chunk=cfg.chunk,
+                hit_cap=cfg.hit_cap, per_job_cap=cfg.per_job_cap,
+            )
+            steps += int(gs)
+            cnt = int(cnt)
+            if cnt > cfg.hit_cap - cfg.per_job_cap:
+                raise RuntimeError(
+                    f"hit buffer overflow ({cnt}); table too collision-heavy"
+                )
+            if cnt:
+                ctx = checker.HitContext(
+                    q=pub, pk=pk, s=cfg.stride, n=cfg.n_offsets,
+                    job_base=first_job,
+                )
+                recs = np.asarray(buf)
+                recs = recs[recs[:, 0] != giant.FILL]
+                for t, flat in recs:
+                    hits_checked += 1
+                    k = checker.verify_hit(ctx, self.baby, int(t), int(flat))
+                    if k is not None and pk <= k <= pke:
+                        return SolveResult(
+                            k, steps, time.time() - t0,
+                            epochs_run + 1, hits_checked,
+                        )
+            epochs_run += 1
+            if on_epoch is not None:
+                on_epoch(epoch, steps)
+            if progress is not None:
+                progress(epoch + 1, total_epochs, steps, time.time() - t0)
+            epoch += epoch_stride
+        return SolveResult(None, steps, time.time() - t0, epochs_run,
+                           hits_checked)

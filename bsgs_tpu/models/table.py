@@ -1,0 +1,170 @@
+"""Baby-step table: device generation, CSR pack, fused device probe.
+
+Re-design of the reference's baby-table pipeline (GenBabys
+1_9_7File.pb:1237-1328, chained hash table :2555-2656, insertion sorts
+:2771-2820, CSR pack :3015-3444) for TPU:
+
+- Baby points 1G..wG are generated ON DEVICE in power-of-two tiles with the
+  doubling-fill batch-add (ops/ec.fill_multiples), then advanced tile by
+  tile with one batched add per tile; only the 64-bit X prefixes leave the
+  device (8 bytes/point instead of 96).
+- Instead of mutex-guarded chained buckets + per-bucket insertion sort, the
+  pack is a single radix sort of the 64-bit prefixes: the bucket is the TOP
+  htsz bits, so sorting by prefix both groups buckets contiguously and
+  orders entries within a bucket — a CSR table falls out of a sort + cumsum.
+- The device probe is bucket-offset gather + one fixed-width contiguous
+  window gather + vectorized compare, instead of a data-dependent binary
+  search: TPUs like fixed shapes and contiguous DMA; build-time enforces
+  max bucket size <= window.
+
+Table entries store the 32 bits of prefix below the bucket bits
+(``disc``); a probe match therefore certifies htsz+32 prefix bits, and the
+host checker re-verifies every hit exactly (like the reference's CPU-side
+compareHTpack re-probe, 1_9_7File.pb:4096-4100).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import field as F, ec
+from ..utils import ecpy
+
+_U32 = jnp.uint32
+
+
+@dataclasses.dataclass
+class BabyTable:
+    """CSR-packed baby table.
+
+    Host side keeps the full sorted 64-bit prefixes + positions (the "CPU
+    table", used by the checker to enumerate candidate baby indices); the
+    device side gets only bucket offsets + 32-bit discriminants (the "GPU
+    table") — same split as the reference's htCPU/htGPU artifacts
+    (1_9_7File.pb:3169-3444).
+    """
+
+    w: int
+    htsz: int
+    window: int
+    # host ("CPU table")
+    sorted_pre: np.ndarray  # (w,) uint64, ascending
+    sorted_pos: np.ndarray  # (w,) uint32, baby index 1..w per entry
+    # device ("GPU table")
+    offsets: jnp.ndarray  # (2^htsz + 1,) uint32 CSR bucket offsets
+    disc: jnp.ndarray  # (w + window,) uint32, sorted discriminants + pad
+
+    def lookup_positions(self, x_int: int) -> list[int]:
+        """All baby indices whose X-coordinate low-64 prefix equals that of
+        x_int (host path; exact 64-bit match, duplicates walked like the
+        reference's startpos duplicate loop, 1_9_7File.pb:4266-4277)."""
+        pre = np.uint64(x_int & ((1 << 64) - 1))
+        l = int(np.searchsorted(self.sorted_pre, pre, side="left"))
+        r = int(np.searchsorted(self.sorted_pre, pre, side="right"))
+        return [int(p) for p in self.sorted_pos[l:r]]
+
+
+def bucket_disc(hi, lo, htsz: int):
+    """(hi32, lo32) prefix -> (bucket, disc32).
+
+    bucket = top htsz bits of the 64-bit prefix; disc = next 32 bits.
+    """
+    assert 1 <= htsz <= 31
+    bucket = hi >> _U32(32 - htsz)
+    disc = (hi << _U32(htsz)) | (lo >> _U32(32 - htsz))
+    return bucket, disc
+
+
+def compute_prefixes(w: int, tile: int = 1 << 14) -> np.ndarray:
+    """64-bit X prefixes of 1G..wG, generated on device in tiles."""
+    tile = min(tile, 1 << max(1, (w - 1).bit_length()))
+    bx, by = ec.fill_multiples(ecpy.G, ecpy.G, tile)
+    step = ecpy.mul(tile)
+    cx, cy = jnp.asarray(F.to_limbs(step[0])), jnp.asarray(F.to_limbs(step[1]))
+    d2 = ecpy.dbl(step)
+    dx, dy = jnp.asarray(F.to_limbs(d2[0])), jnp.asarray(F.to_limbs(d2[1]))
+
+    out = np.empty(w, dtype=np.uint64)
+    done = 0
+    prefix_fn = jax.jit(lambda x: F.x_prefix64(x))
+    while done < w:
+        take = min(tile, w - done)
+        hi, lo = prefix_fn(bx)
+        hi = np.asarray(hi[:take], dtype=np.uint64)
+        lo = np.asarray(lo[:take], dtype=np.uint64)
+        out[done : done + take] = (hi << np.uint64(32)) | lo
+        done += take
+        if done < w:
+            bx, by, inf = ec.extend_tile(bx, by, cx, cy, dx, dy)
+    return out
+
+
+def pack_table(prefixes: np.ndarray, htsz: int, window: int = 16) -> BabyTable:
+    """Sort + cumsum CSR pack of 64-bit prefixes (host-side numpy).
+
+    Raises if any bucket exceeds the probe window — callers bump htsz
+    (the reference enforces the analogous -w/-htsz safety bounds
+    interactively, 1_9_7File.pb:4412-4472; here it is a hard invariant).
+    """
+    w = prefixes.shape[0]
+    order = np.argsort(prefixes, kind="stable")
+    sorted_pre = prefixes[order]
+    sorted_pos = (order + 1).astype(np.uint32)  # baby index is 1-based
+    buckets = (sorted_pre >> np.uint64(64 - htsz)).astype(np.int64)
+    counts = np.bincount(buckets, minlength=1 << htsz)
+    maxb = int(counts.max()) if w else 0
+    if maxb > window:
+        raise ValueError(
+            f"bucket overflow: max bucket {maxb} > window {window}; "
+            f"increase htsz (w={w}, htsz={htsz})"
+        )
+    offsets = np.zeros((1 << htsz) + 1, dtype=np.uint32)
+    np.cumsum(counts, out=offsets[1:])
+    disc = ((sorted_pre << np.uint64(htsz)) >> np.uint64(32)).astype(np.uint32)
+    disc_pad = np.concatenate([disc, np.zeros(window, np.uint32)])
+    return BabyTable(
+        w=w,
+        htsz=htsz,
+        window=window,
+        sorted_pre=sorted_pre,
+        sorted_pos=sorted_pos,
+        offsets=jnp.asarray(offsets),
+        disc=jnp.asarray(disc_pad),
+    )
+
+
+def build_baby_table(w: int, htsz: int, window: int = 16,
+                     tile: int = 1 << 14) -> BabyTable:
+    return pack_table(compute_prefixes(w, tile=tile), htsz, window)
+
+
+@partial(jax.jit, static_argnames=("htsz", "window"))
+def probe(hi, lo, offsets, disc, *, htsz: int, window: int):
+    """Vectorized membership probe of 64-bit prefixes against the table.
+
+    Per element: 2 offset gathers + one contiguous window gather of
+    ``window`` discriminants + a vectorized compare. Returns a bool mask.
+    """
+    bucket, d = bucket_disc(hi, lo, htsz)
+    o0 = offsets[bucket]
+    o1 = offsets[bucket + _U32(1)]
+    win = jax.vmap(
+        lambda o: jax.lax.dynamic_slice(disc, (o,), (window,))
+    )(o0)
+    count = o1 - o0  # build guarantees count <= window
+    lane = jax.lax.broadcasted_iota(_U32, win.shape, len(win.shape) - 1)
+    valid = lane < count[..., None]
+    return jnp.any((win == d[..., None]) & valid, axis=-1)
+
+
+def probe_x(x_limbs, table: BabyTable):
+    """Probe full X coordinates (limb form) against a BabyTable."""
+    hi, lo = F.x_prefix64(x_limbs)
+    return probe(
+        hi, lo, table.offsets, table.disc, htsz=table.htsz, window=table.window
+    )

@@ -1,0 +1,385 @@
+"""secp256k1 field arithmetic on 16x16-bit limb planes (uint32), TPU-native.
+
+Role-equivalent of the reference's CPU bignum core (lib/Curve64.pb:62-2523)
+and the PTX device funcs ADD/SUB/MULMODP/SQUAREMODP/INVMODP
+(bsgscudaussualHTchangeble1_7_3.pb decoded PTX), but designed for the TPU
+VPU rather than translated:
+
+- A 256-bit field element is ``(..., 16) uint32``, little-endian limbs, each
+  limb in ``[0, 2^16)``. The batch lives in the leading dims and vectorizes
+  across TPU lanes; the limb axis is tiny and unrolled at trace time.
+- 16-bit limbs (not 32/64) because the TPU has no 64-bit scalar ISA and no
+  mulhi: a 16x16 product fits exactly in uint32, and every column sum in the
+  schoolbook multiply stays < 2^21, so the entire multiplier is exact in
+  plain uint32 vector ops — no carries lost, no wide types, Pallas-friendly.
+- Reduction uses the secp256k1 fold 2^256 ≡ 2^32 + 977 (mod p), the same
+  identity as the reference's x0x1000003D1 fold (lib/Curve64.pb:1038-1439),
+  re-derived for the 16-bit radix.
+- Inversion is Fermat (a^(p-2)) with a compile-time-unrolled ladder: the
+  solver only ever inverts once per batch (Montgomery trick, see ops/ec.py),
+  so branch-free beats the reference's binary extended Euclid
+  (lib/Curve64.pb:2457-2523) on this hardware.
+
+All functions are shape-polymorphic over leading batch dims and jit-safe.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# Representation
+
+NLIMBS = 16
+LIMB_BITS = 16
+LIMB_MASK = (1 << LIMB_BITS) - 1
+
+# secp256k1 prime and curve constants (host ints)
+P_INT = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEFFFFFC2F
+N_INT = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141
+GX_INT = 0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798
+GY_INT = 0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8
+B_INT = 7
+# 2^256 mod p = 2^32 + 977
+FOLD_INT = (1 << 32) + 977
+FOLD_977 = 977
+
+_U32 = jnp.uint32
+
+
+def to_limbs(x: int, nlimbs: int = NLIMBS) -> np.ndarray:
+    """Host int -> (nlimbs,) uint32 little-endian 16-bit limbs."""
+    assert 0 <= x < (1 << (LIMB_BITS * nlimbs))
+    return np.array(
+        [(x >> (LIMB_BITS * i)) & LIMB_MASK for i in range(nlimbs)], dtype=np.uint32
+    )
+
+
+def from_limbs(a) -> int:
+    """(..., L) limbs -> host int (single element only)."""
+    a = np.asarray(a)
+    assert a.ndim == 1, "from_limbs takes a single element; use from_limbs_batch"
+    return sum(int(v) << (LIMB_BITS * i) for i, v in enumerate(a))
+
+
+def from_limbs_batch(a) -> np.ndarray:
+    """(..., L) limbs -> (...,) object array of host ints."""
+    a = np.asarray(a)
+    out = np.zeros(a.shape[:-1], dtype=object)
+    for i in range(a.shape[-1]):
+        out = out + (a[..., i].astype(object) << (LIMB_BITS * i))
+    return out
+
+
+def to_limbs_batch(xs, nlimbs: int = NLIMBS) -> np.ndarray:
+    """Iterable of host ints -> (len, nlimbs) uint32."""
+    return np.stack([to_limbs(int(x), nlimbs) for x in xs])
+
+
+def broadcast_const(x: int, batch_shape=()) -> jnp.ndarray:
+    """Host int -> limbs broadcast to batch_shape + (NLIMBS,)."""
+    c = jnp.asarray(to_limbs(x))
+    return jnp.broadcast_to(c, tuple(batch_shape) + (NLIMBS,))
+
+
+P_LIMBS = to_limbs(P_INT)
+N_LIMBS_ARR = to_limbs(N_INT)
+
+# ---------------------------------------------------------------------------
+# Carry machinery
+#
+# Carry/borrow propagation is a lax.scan over the limb axis: the traced
+# graph stays ~15 nodes regardless of limb count (compile time matters — a
+# giant-step kernel inlines hundreds of these), while the batch dimension
+# stays fully vectorized in every scan step.
+
+
+def _carry_norm_arr(cols):
+    """(..., L) uint32 columns -> (normalized 16-bit limbs, carry).
+
+    Precondition: column value + incoming carry fits uint32 (columns
+    < 2^27 is always safe given carries stay below 2^16).
+    """
+    x = jnp.moveaxis(cols, -1, 0)
+
+    def body(carry, v):
+        t = v + carry
+        return t >> LIMB_BITS, t & LIMB_MASK
+
+    carry, out = jax.lax.scan(body, jnp.zeros(cols.shape[:-1], _U32), x)
+    return jnp.moveaxis(out, 0, -1), carry
+
+
+def _stack_cols(cols):
+    return jnp.stack(cols, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Add / sub / compare (raw 256-bit)
+
+
+@jax.jit
+def add_raw(a, b):
+    """256-bit a + b -> (sum mod 2^256, carry in {0,1})."""
+    return _carry_norm_arr(a + b)
+
+
+@jax.jit
+def sub_raw(a, b):
+    """256-bit a - b -> (diff mod 2^256, borrow in {0,1})."""
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
+    x = jnp.moveaxis(a, -1, 0)
+    y = jnp.moveaxis(b, -1, 0)
+    top = _U32(1 << LIMB_BITS)
+
+    def body(borrow, ab):
+        ai, bi = ab
+        t = ai + top - bi - borrow
+        return _U32(1) - (t >> LIMB_BITS), t & LIMB_MASK
+
+    borrow, out = jax.lax.scan(
+        body, jnp.zeros(a.shape[:-1], _U32), (x, y)
+    )
+    return jnp.moveaxis(out, 0, -1), borrow
+
+
+@jax.jit
+def geq(a, b):
+    """a >= b, elementwise over the batch."""
+    _, borrow = sub_raw(a, b)
+    return borrow == 0
+
+
+@jax.jit
+def eq(a, b):
+    return jnp.all(a == b, axis=-1)
+
+
+@jax.jit
+def is_zero(a):
+    return jnp.all(a == 0, axis=-1)
+
+
+def _select(mask, a, b):
+    """Where mask (batch bool) pick a else b; mask broadcast over limb axis."""
+    return jnp.where(mask[..., None], a, b)
+
+
+# ---------------------------------------------------------------------------
+# Modular add / sub / neg
+
+
+@jax.jit
+def add_mod(a, b):
+    """(a + b) mod p for a, b < p."""
+    s, c = add_raw(a, b)
+    t, br = sub_raw(s, jnp.asarray(P_LIMBS))
+    # Use t when the true sum >= p: either a carry out of 2^256 (the wrapped
+    # subtraction then lands exactly on s + 2^256 - p) or s >= p directly.
+    return _select((c == 1) | (br == 0), t, s)
+
+
+@jax.jit
+def sub_mod(a, b):
+    """(a - b) mod p for a, b < p."""
+    d, br = sub_raw(a, b)
+    d2, _ = add_raw(d, jnp.asarray(P_LIMBS))
+    return _select(br == 1, d2, d)
+
+
+@jax.jit
+def neg_mod(a):
+    """(-a) mod p for a < p."""
+    d, _ = sub_raw(jnp.asarray(P_LIMBS), a)
+    return _select(is_zero(a), a, d)
+
+
+# ---------------------------------------------------------------------------
+# Multiplication
+#
+# All multiplier stages are whole-array ops over the limb axis (outer
+# product, slice-adds, scan carries) rather than per-column scalar graphs:
+# the traced graph per mul_mod is ~100 nodes, which keeps compile times of
+# kernels that inline hundreds of multiplies tractable, and gives XLA big
+# fusable elementwise ops.
+
+
+def _mul_wide(a, b):
+    """Schoolbook 256x256 -> 512-bit product as (..., 32) uint32 columns.
+
+    Each 16x16-bit partial product splits into lo/hi 16-bit halves, so a
+    column accumulates at most 32 values < 2^16: columns < 2^21, no uint32
+    overflow anywhere.
+    """
+    prod = a[..., :, None] * b[..., None, :]  # (..., 16, 16) exact in u32
+    lo = prod & _U32(LIMB_MASK)
+    hi = prod >> _U32(LIMB_BITS)
+    batch = prod.shape[:-2]
+    cols = jnp.zeros(batch + (2 * NLIMBS,), _U32)
+    for i in range(NLIMBS):
+        cols = cols.at[..., i : i + NLIMBS].add(lo[..., i, :])
+        cols = cols.at[..., i + 1 : i + 1 + NLIMBS].add(hi[..., i, :])
+    return cols
+
+
+def _fold_cols(cols):
+    """Fold columns >= 16 back via 2^256 ≡ 2^32 + 977 (mod p).
+
+    cols: (..., L) uint32 with 16 < L <= 18, columns < 2^22 (so the x977
+    products stay < 2^32). Returns (..., 16) columns < 2^23 — value
+    preserved mod p, NOT carry-normalized.
+    """
+    L = cols.shape[-1]
+    assert 16 < L <= 18, L
+    lo = cols[..., :16]
+    hi = cols[..., 16:]
+    nh = L - 16
+    h977 = hi * _U32(FOLD_977)
+    out = lo
+    # hi * 977 at positions 0..nh and its 16-bit split
+    out = out.at[..., :nh].add(h977 & _U32(LIMB_MASK))
+    out = out.at[..., 1 : 1 + nh].add(h977 >> _U32(LIMB_BITS))
+    # hi << 32 == shift by 2 limb positions
+    out = out.at[..., 2 : 2 + nh].add(hi)
+    return out
+
+
+def _reduce_to_p(x, top):
+    """Value top*2^256 + x (top in {0,1}, value < 2p) -> canonical < p."""
+    d, br = sub_raw(x, jnp.asarray(P_LIMBS))
+    return _select((top == 1) | (br == 0), d, x)
+
+
+def reduce_512(cols):
+    """(..., 32) uint32 columns (each < 2^21, a 512-bit value) -> mod p.
+
+    Same fold identity as the reference's x0x1000003D1 chain
+    (lib/Curve64.pb:1038-1439): two unnormalized folds 512->288->256 bits,
+    one carry normalization, a third tiny fold of the remaining top bits,
+    and one conditional subtract.
+    """
+    # fold 32 -> 18 columns: process high half in two 16->(<=18) passes.
+    # First fold columns 16..31 (< 2^21) into 0..17: do it in one shot by
+    # treating cols as lo(16) + hi(16); hi*977 < 2^31 fits u32.
+    lo = cols[..., :16]
+    hi = cols[..., 16:]
+    h977 = hi * _U32(FOLD_977)
+    t = jnp.zeros(cols.shape[:-1] + (18,), _U32)
+    t = t.at[..., :16].add(lo)
+    t = t.at[..., :16].add(h977 & _U32(LIMB_MASK))
+    t = t.at[..., 1:17].add(h977 >> _U32(LIMB_BITS))
+    t = t.at[..., 2:18].add(hi)
+    # t columns < 2^21 + 2^16 + 2^16 + 2^21 < 2^22.1; value < ~2^290
+    f2 = _fold_cols(t)  # (..., 16) columns < 2^23
+    norm, c = _carry_norm_arr(f2)  # c < 2^23 >> 16 accumulated ~ < 2^9
+    # fold the small carry c (bits 256+): c*(2^32 + 977)
+    c977 = c * _U32(FOLD_977)  # < 2^19
+    norm = norm.at[..., 0].add(c977 & _U32(LIMB_MASK))
+    norm = norm.at[..., 1].add(c977 >> _U32(LIMB_BITS))
+    norm = norm.at[..., 2].add(c)
+    norm, c2 = _carry_norm_arr(norm)  # value < 2^256 + 2^51 < 2p
+    return _reduce_to_p(norm, c2)
+
+
+@jax.jit
+def mul_mod(a, b):
+    """(a * b) mod p, batch-vectorized. a, b < p."""
+    return reduce_512(_mul_wide(a, b))
+
+
+@jax.jit
+def sqr_mod(a):
+    """a^2 mod p. (Squaring-specific savings are a later Pallas optimization;
+    semantics match mul_mod(a, a).)"""
+    return mul_mod(a, a)
+
+
+@partial(jax.jit, static_argnames=('k',))
+def mul_small_mod(a, k: int):
+    """(a * k) mod p for a host-int 0 <= k < 2^16."""
+    assert 0 <= k < (1 << LIMB_BITS)
+    prod = a * _U32(k)  # (..., 16) < 2^32
+    cols = jnp.zeros(a.shape[:-1] + (17,), _U32)
+    cols = cols.at[..., :16].add(prod & _U32(LIMB_MASK))
+    cols = cols.at[..., 1:17].add(prod >> _U32(LIMB_BITS))
+    f = _fold_cols(cols)  # (..., 16) < 2^18
+    norm, c = _carry_norm_arr(f)  # c tiny
+    c977 = c * _U32(FOLD_977)
+    norm = norm.at[..., 0].add(c977 & _U32(LIMB_MASK))
+    norm = norm.at[..., 1].add(c977 >> _U32(LIMB_BITS))
+    norm = norm.at[..., 2].add(c)
+    norm, c2 = _carry_norm_arr(norm)
+    return _reduce_to_p(norm, c2)
+
+
+# ---------------------------------------------------------------------------
+# Exponentiation / inversion / sqrt
+
+
+@partial(jax.jit, static_argnames=('e',))
+def pow_mod_bits(a, e: int):
+    """a^e mod p. Exponent is a host int; evaluated MSB-first with a
+    fori_loop over a constant bit array, so the traced graph is one
+    square + one multiply regardless of exponent size."""
+    assert e > 0
+    import jax
+
+    bits = np.array([int(b) for b in bin(e)[2:]], dtype=np.uint32)
+    if bits.shape[0] == 1:
+        return a
+    bits_j = jnp.asarray(bits)
+
+    def body(i, acc):
+        acc = sqr_mod(acc)
+        return jnp.where(bits_j[i] == 1, mul_mod(acc, a), acc)
+
+    return jax.lax.fori_loop(1, bits.shape[0], body, a)
+
+
+@jax.jit
+def inv_mod(a):
+    """a^(p-2) mod p — branch-free Fermat inversion. inv(0) == 0.
+
+    Implemented as the generic rolled square-and-multiply ladder rather
+    than an unrolled addition chain: the traced graph is ONE square + ONE
+    multiply inside a fori_loop, which keeps compile times of every
+    enclosing kernel small. The ~1.7x extra multiplies are irrelevant
+    because inversion cost is amortized over Montgomery-trick batches
+    (ops/ec.batch_inv) everywhere that matters. Replaces the reference's
+    binary extended Euclid (lib/Curve64.pb:2457-2523) — on TPU a
+    branch-free fixed ladder beats data-dependent loops.
+    """
+    return pow_mod_bits(a, P_INT - 2)
+
+
+@jax.jit
+def sqrt_mod(a):
+    """a^((p+1)/4) mod p; a square root when a is a quadratic residue.
+
+    Mirrors the reference's YfromX lift (lib/Curve64.pb:2656-2683, DoPowMod
+    at :2630) which uses the same p ≡ 3 (mod 4) exponent.
+    """
+    return pow_mod_bits(a, (P_INT + 1) // 4)
+
+
+# ---------------------------------------------------------------------------
+# Prefix extraction (for the baby-table keys)
+
+
+@jax.jit
+def x_prefix64(x):
+    """Low 64 bits of a field element as (hi32, lo32) uint32 pair.
+
+    The baby table keys on a 64-bit prefix of the X coordinate, like the
+    reference's 8-byte X-prefix entries (1_9_7File.pb:2555-2622); we take
+    the low 64 bits (uniformly distributed for random points).
+    """
+    lo = x[..., 0] | (x[..., 1] << LIMB_BITS)
+    hi = x[..., 2] | (x[..., 3] << LIMB_BITS)
+    return hi, lo

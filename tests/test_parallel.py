@@ -1,0 +1,96 @@
+"""Multi-chip tests on the 8-device CPU mesh: range striping, sharded-table
+probe routing, and mode equivalence (SURVEY.md §4 strategy)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bsgs_tpu.models import solver as smod, table as tbl
+from bsgs_tpu.parallel import mesh as pmesh, sharded_table as st, striped
+from bsgs_tpu.ops import field as F
+from bsgs_tpu.utils import ecpy
+
+
+@pytest.fixture(scope="module")
+def base_solver():
+    cfg = smod.SolverConfig(
+        w=256, htsz=6, n_offsets=8, jobs_per_epoch=2, window=16, chunk=16,
+        hit_cap=128, per_job_cap=16, table_tile=64,
+    )
+    return smod.Solver(cfg)
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+
+
+def test_shard_table_roundtrip():
+    table = tbl.build_baby_table(256, 6, window=16, tile=64)
+    spec = st.shard_table(table, 4)
+    # every entry present exactly once across shards
+    total = sum(
+        int(spec.offsets[s][-1]) for s in range(4)
+    )
+    assert total == 256
+
+
+def test_sharded_probe_matches_replicated(base_solver):
+    mesh = pmesh.make_mesh(8)
+    table = base_solver.baby
+    # probes: members and non-members
+    ks = list(range(1, 129)) + [int(x) for x in
+                                np.random.default_rng(7).integers(
+                                    300, 1 << 48, size=128)]
+    xs = [ecpy.mul(k)[0] for k in ks]
+    xl = jnp.asarray(F.to_limbs_batch(xs))
+    expect = np.asarray(tbl.probe_x(xl, table))
+
+    spec = st.shard_table(table, 8)
+    probe_sh = st.make_sharded_probe(spec)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    hi, lo = F.x_prefix64(xl)
+
+    def body(hi, lo, off, disc):
+        return probe_sh(hi, lo, off, disc)
+
+    f = jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P("chips"), P("chips"), P("chips"), P("chips")),
+        out_specs=P("chips"),
+    ))
+    got = np.asarray(f(hi, lo, jnp.asarray(spec.offsets),
+                       jnp.asarray(spec.disc)))
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_mesh_solve_replicated(base_solver):
+    mesh = pmesh.make_mesh(8)
+    ms = striped.MeshSolver(base_solver, mesh)
+    pk = 1 << 21
+    k = pk + 100_000
+    res = ms.solve(ecpy.mul(k), pk, pk + (1 << 18))
+    assert res.key == k
+
+
+def test_mesh_solve_sharded_table(base_solver):
+    mesh = pmesh.make_mesh(8)
+    ms = striped.MeshSolver(base_solver, mesh, shard_baby_table=True)
+    pk = 1 << 21
+    k = pk + 250_001
+    res = ms.solve(ecpy.mul(k), pk, pk + (1 << 18))
+    assert res.key == k
+
+
+def test_mesh_exhausts(base_solver):
+    mesh = pmesh.make_mesh(8)
+    ms = striped.MeshSolver(base_solver, mesh)
+    pk = 1 << 21
+    pub = ecpy.mul(pk + (1 << 30))
+    res = ms.solve(pub, pk, pk + (1 << 16))
+    assert res.key is None

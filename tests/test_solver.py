@@ -1,0 +1,120 @@
+"""End-to-end solver tests (BASELINE.json config 1 scaled down for CI):
+known keys planted across a range, including every hit-code path."""
+
+import numpy as np
+import pytest
+
+from bsgs_tpu.models import checker, solver
+from bsgs_tpu.utils import ecpy
+
+
+def make_solver(w=256, htsz=6, n_offsets=8, jobs_per_epoch=4):
+    cfg = solver.SolverConfig(
+        w=w, htsz=htsz, n_offsets=n_offsets,
+        jobs_per_epoch=jobs_per_epoch, window=16, chunk=16,
+        table_tile=64,
+    )
+    return solver.Solver(cfg)
+
+
+SOLVER = None
+
+
+def get_solver():
+    global SOLVER
+    if SOLVER is None:
+        SOLVER = make_solver()
+    return SOLVER
+
+
+def solve_one(s, k, pk, pke):
+    pub = ecpy.mul(k)
+    res = s.solve(pub, pk, pke)
+    assert res.key == k, f"expected {k}, got {res.key}"
+    return res
+
+
+def test_solve_midrange():
+    s = get_solver()
+    pk, pke = 1 << 20, (1 << 20) + (1 << 16)
+    solve_one(s, pk + 37777, pk, pke)
+
+
+def test_solve_range_edges():
+    s = get_solver()
+    pk, pke = 5_000_000, 5_000_000 + (1 << 15)
+    solve_one(s, pk, pk, pke)          # k == pk (shortcut path)
+    solve_one(s, pk + 1, pk, pke)      # first real key
+    solve_one(s, pke, pk, pke)         # last key
+
+
+def test_solve_exact_giant_landing():
+    # k0 an exact multiple of the stride S = 2w -> device code-4 path
+    s = get_solver()
+    S = s.cfg.stride
+    pk = 999_999
+    k = pk + 7 * S
+    solve_one(s, k, pk, pk + (1 << 14))
+
+
+def test_solve_center_landing():
+    # k0 exactly at a job center -> infinity center, forced code-5 hit
+    s = get_solver()
+    cfg = s.cfg
+    c0 = cfg.n_offsets * cfg.stride  # first job center giant offset * S
+    pk = 123_456
+    solve_one(s, pk + c0, pk, pk + (1 << 14))
+    # and a center of a later job
+    c3 = (3 * cfg.jobs_span + cfg.n_offsets) * cfg.stride
+    solve_one(s, pk + c3, pk, pk + 4 * cfg.jobs_span * cfg.stride)
+
+
+def test_solve_both_branches():
+    # keys on both sides of a center exercise +/- branch decoding
+    s = get_solver()
+    cfg = s.cfg
+    pk = 777_777
+    center0 = cfg.n_offsets * cfg.stride
+    solve_one(s, pk + center0 - 3 * cfg.stride - 5, pk, pk + (1 << 14))
+    solve_one(s, pk + center0 + 3 * cfg.stride + 5, pk, pk + (1 << 14))
+
+
+def test_solve_minus_r_candidate():
+    # k0 = m*S - r (the mirrored candidate form the checker must try)
+    s = get_solver()
+    pk = 31_337
+    k = pk + 5 * s.cfg.stride - 13
+    solve_one(s, k, pk, pk + (1 << 14))
+
+
+def test_exhausted_range():
+    s = get_solver()
+    pk = 1 << 22
+    pub = ecpy.mul(pk + (1 << 18))  # key far outside the searched range
+    res = s.solve(pub, pk, pk + (1 << 13))
+    assert res.key is None
+    assert res.giant_steps > 0
+
+
+def test_epoch_striping_covers_range():
+    # epoch_stride/offset partition: both workers together find the key,
+    # and the worker owning the key's epoch finds it alone.
+    s = get_solver()
+    pk = 2_000_000
+    pke = pk + (1 << 15)
+    k = pk + 29_000
+    pub = ecpy.mul(k)
+    results = [
+        s.solve(pub, pk, pke, epoch_stride=2, epoch_offset=i) for i in (0, 1)
+    ]
+    found = [r.key for r in results if r.key is not None]
+    assert found == [k]
+
+
+def test_random_keys(rng):
+    s = get_solver()
+    pk = 10_000_000
+    pke = pk + (1 << 16)
+    for _ in range(3):
+        k = pk + int(rng.integers(0, pke - pk + 1))
+        solve_one(s, k, pk, pke)

@@ -1,0 +1,79 @@
+"""Baby-table tests: random-oracle membership checks, mirroring the
+reference's checkHT / checkHTpack spot verification (1_9_7File.pb:3599-3627,
+:3446) plus exhaustive small-w sweeps."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from bsgs_tpu.ops import field as F
+from bsgs_tpu.models import table as T
+from bsgs_tpu.utils import ecpy
+
+
+def test_compute_prefixes_matches_oracle():
+    w = 40
+    pre = T.compute_prefixes(w, tile=8)  # force multiple tile extensions
+    for i in range(w):
+        x = ecpy.mul(i + 1)[0]
+        assert int(pre[i]) == x & ((1 << 64) - 1), f"i={i}"
+
+
+def test_pack_and_probe_members():
+    w, htsz = 64, 6
+    tab = T.build_baby_table(w, htsz, window=16, tile=16)
+    xs = [ecpy.mul(r)[0] for r in range(1, w + 1)]
+    xl = jnp.asarray(F.to_limbs_batch(xs))
+    found = np.asarray(T.probe_x(xl, tab))
+    assert found.all(), "every baby point must probe true"
+
+
+def test_probe_nonmembers_mostly_absent(rng):
+    w, htsz = 64, 6
+    tab = T.build_baby_table(w, htsz, window=16, tile=16)
+    ks = [int(rng.integers(w + 1, 1 << 60)) for _ in range(64)]
+    xs = [ecpy.mul(k)[0] for k in ks]
+    xl = jnp.asarray(F.to_limbs_batch(xs))
+    found = np.asarray(T.probe_x(xl, tab))
+    # matches certify htsz+32 bits; 64 random probes should all miss
+    assert not found.any()
+
+
+def test_lookup_positions():
+    w, htsz = 32, 5
+    tab = T.build_baby_table(w, htsz, window=16, tile=16)
+    for r in [1, 2, 17, 32]:
+        x = ecpy.mul(r)[0]
+        assert tab.lookup_positions(x) == [r]
+    assert tab.lookup_positions(ecpy.mul(w + 5)[0]) == []
+
+
+def test_bucket_overflow_raises():
+    # all prefixes in one bucket must violate window
+    pre = np.zeros(40, dtype=np.uint64)
+    pre[:] = np.arange(40)  # bucket 0 for htsz bits of zeros
+    with pytest.raises(ValueError):
+        T.pack_table(pre, htsz=8, window=16)
+
+
+def test_duplicate_prefixes_kept():
+    pre = np.array([5, 5, 7], dtype=np.uint64)
+    tab = T.pack_table(pre, htsz=4, window=16)
+    assert sorted(tab.sorted_pos[:2].tolist()) == [1, 2]
+
+
+def test_probe_respects_bucket_boundaries(rng):
+    # adjacent-bucket entries with equal disc bits must not false-positive
+    # via the fixed window overrun: craft prefixes in two adjacent buckets.
+    htsz = 4
+    # bucket = top 4 bits; disc = next 32 bits
+    mk = lambda b, d: np.uint64((b << 60) | (d << 28))
+    pre = np.array(sorted([mk(2, 111), mk(3, 222)]), dtype=np.uint64)
+    tab = T.pack_table(pre, htsz=htsz, window=8)
+    # probe for disc 222 in bucket 2 (only bucket 3 has it)
+    hi = jnp.asarray([(2 << 28) | (222 >> 4)], dtype=jnp.uint32)
+    lo = jnp.asarray([(222 << 28) & 0xFFFFFFFF], dtype=jnp.uint32)
+    found = np.asarray(
+        T.probe(hi, lo, tab.offsets, tab.disc, htsz=htsz, window=8)
+    )
+    assert not found[0]

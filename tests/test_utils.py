@@ -1,0 +1,105 @@
+"""Codecs, artifacts, checkpoint, tuner tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from bsgs_tpu.utils import artifacts, checkpoint as ckpt, codecs, ecpy, tuner
+from bsgs_tpu.models import table as tbl
+
+
+def test_pubkey_roundtrip():
+    pt = ecpy.mul(123456789)
+    for compressed in (True, False):
+        s = codecs.format_pubkey(pt, compressed)
+        assert codecs.parse_pubkey(s) == pt
+
+
+def test_pubkey_forms():
+    pt = ecpy.mul(42)
+    x, y = pt
+    raw = f"{x:064x}{y:064x}"
+    assert codecs.parse_pubkey(raw) == pt
+    assert codecs.parse_pubkey("04" + raw) == pt
+    with pytest.raises(codecs.PubkeyError):
+        codecs.parse_pubkey("02" + "00" * 32)  # x=0 not on curve
+    with pytest.raises(codecs.PubkeyError):
+        codecs.parse_pubkey("zz")
+    with pytest.raises(codecs.PubkeyError):
+        codecs.parse_pubkey("04" + raw[:100])
+
+
+def test_parse_w():
+    assert codecs.parse_w("10") == 1024
+    assert codecs.parse_w("10.5") == int(round(2 ** 10.5))
+    assert codecs.parse_w("1000000") == 1000000
+
+
+def test_parse_scalar():
+    assert codecs.parse_scalar("ff") == 255
+    assert codecs.parse_scalar("0xFF") == 255
+
+
+def test_artifact_roundtrip(tmp_path):
+    table = tbl.build_baby_table(64, 5, window=16, tile=16)
+    path = str(tmp_path / "t.npz")
+    artifacts.save_baby_table(table, path)
+    loaded = artifacts.load_baby_table(path)
+    assert loaded.w == table.w
+    np.testing.assert_array_equal(loaded.sorted_pre, table.sorted_pre)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.disc), np.asarray(table.disc)
+    )
+
+
+def test_artifact_corruption_detected(tmp_path):
+    table = tbl.build_baby_table(64, 5, window=16, tile=16)
+    table.sorted_pre[3] ^= np.uint64(0xDEAD)  # corrupt an entry
+    path = str(tmp_path / "bad.npz")
+    artifacts.save_baby_table(table, path)
+    with pytest.raises(ValueError, match="corrupt"):
+        artifacts.load_baby_table(path, spot_checks=64)
+
+
+def test_get_baby_table_cache(tmp_path):
+    t1 = artifacts.get_baby_table(32, 4, cache_dir=str(tmp_path), tile=16)
+    assert os.path.exists(artifacts.baby_table_path(str(tmp_path), 32, 4, 16))
+    t2 = artifacts.get_baby_table(32, 4, cache_dir=str(tmp_path), tile=16)
+    np.testing.assert_array_equal(t1.sorted_pre, t2.sorted_pre)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    path = str(tmp_path / "cw.json")
+    fp = ckpt.config_fingerprint(w=1024, htsz=8, pk=1, pke=100)
+    w = ckpt.CheckpointWriter(path, fp, interval_s=0.0)
+    assert w.maybe_write(0, "02abc", 7, 12345)
+    ck = ckpt.Checkpoint.load(path, fp)
+    assert ck.next_epoch == 7 and ck.giant_steps == 12345
+
+    with pytest.raises(ValueError, match="fingerprint"):
+        ckpt.Checkpoint.load(
+            path, ckpt.config_fingerprint(w=2048, htsz=8, pk=1, pke=100)
+        )
+
+
+def test_checkpoint_rate_limit(tmp_path):
+    path = str(tmp_path / "cw.json")
+    w = ckpt.CheckpointWriter(path, "fp", interval_s=9999.0)
+    assert w.maybe_write(0, "x", 1, 1)
+    assert not w.maybe_write(0, "x", 2, 2)
+    assert w.maybe_write(0, "x", 3, 3, force=True)
+
+
+def test_tuner_fits_memory():
+    for mem in [8 << 30, 16 << 30, 32 << 30]:
+        t = tuner.tune(mem_bytes=mem)
+        total = t.est_table_bytes + t.est_offsets_bytes + t.est_transient_bytes
+        assert total < mem
+        assert t.w >= 1 << 20
+        assert 4 <= t.htsz <= 28
+
+
+def test_tuner_range_cap():
+    t = tuner.tune(mem_bytes=16 << 30, range_bits=30)
+    assert t.w <= 1 << 16
