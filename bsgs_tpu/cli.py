@@ -24,6 +24,7 @@ written atomically and refuse to resume across geometry changes.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -57,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="directory for reusable table artifacts")
     p.add_argument("--tune", action="store_true",
                    help="print suggested geometry for this device and exit")
+    p.add_argument("--gen-only", action="store_true",
+                   help="build+verify table artifacts, then exit (the "
+                   "reference's onlygen precompute tool)")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -77,6 +81,18 @@ def main(argv=None) -> int:
             f"~{t.est_offsets_bytes / 2**20:.0f} MiB, transients "
             f"~{t.est_transient_bytes / 2**20:.0f} MiB"
         )
+        return 0
+
+    if args.gen_only:
+        w = codecs.parse_w(args.w)
+        htsz = args.htsz if args.htsz is not None else max(4, w.bit_length() - 3)
+        if not args.quiet:
+            print(f"generating artifacts: w={w} htsz={htsz} "
+                  f"-> {args.cache_dir}")
+        artifacts.get_baby_table(
+            w, htsz, window=args.window, cache_dir=args.cache_dir
+        )
+        print("finished ok")
         return 0
 
     if not args.pub and not args.infile:
@@ -114,10 +130,18 @@ def main(argv=None) -> int:
 
     start_index, start_epoch = 0, 0
     if args.resume:
-        ck = ckpt.Checkpoint.load(args.resume, fingerprint)
+        try:
+            ck = ckpt.Checkpoint.load(args.resume, fingerprint)
+        except (ValueError, OSError, KeyError) as e:
+            print(f"cannot resume: {e}", file=sys.stderr)
+            return 2
         start_index, start_epoch = ck.pub_index, ck.next_epoch
         if not args.quiet:
             print(f"resuming at pubkey #{start_index}, epoch {start_epoch}")
+    elif os.path.exists(args.win_file):
+        # fresh (non-recovery) start clears the win file, like the
+        # reference (1_9_7File.pb:4959-4963)
+        os.unlink(args.win_file)
 
     if not args.quiet:
         print(f"building baby table: w={w} htsz={htsz} ...")
@@ -150,6 +174,19 @@ def main(argv=None) -> int:
         def on_epoch(epoch, steps, _idx=idx, _hex=pub_hex):
             writer.maybe_write(_idx, _hex, epoch + 1, steps)
 
+        def progress(done, total, steps, dt, _w=w):
+            # rate display with the reference's semantics
+            # (1_9_7File.pb:5131-5135): giant-steps/s and x2w effective
+            if args.quiet or dt <= 0:
+                return
+            rate = steps / dt
+            print(
+                f"\r  epoch {done}/{total}  "
+                f"{rate / 1e6:.2f} Mgsteps/s  "
+                f"(~2^{int(rate * 2 * _w).bit_length()} keys/s)",
+                end="", flush=True,
+            )
+
         if not args.quiet:
             rate_note = f" [{idx + 1}/{len(pubs)}]" if len(pubs) > 1 else ""
             print(f"searching{rate_note} {pub_hex[:24]}... "
@@ -161,7 +198,10 @@ def main(argv=None) -> int:
                 pub, pk, pke,
                 start_epoch=start_epoch if idx == start_index else 0,
                 on_epoch=on_epoch,
+                progress=progress,
             )
+            if not args.quiet:
+                print()
         if res.key is not None:
             found += 1
             line = f"{res.key:064x} {codecs.format_pubkey(pub)}"
@@ -178,5 +218,29 @@ def main(argv=None) -> int:
     return 0
 
 
+def _main_with_crashlog(argv=None) -> int:
+    """Crash-handler wrapper: dump the traceback to a timestamped error log
+    (reference ErrorHandler, 1_9_7File.pb:4299-4367) and re-raise."""
+    try:
+        return main(argv)
+    except KeyboardInterrupt:
+        print("\ninterrupted", file=sys.stderr)
+        return 130
+    except Exception:
+        import datetime
+        import traceback
+
+        stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+        path = f"{stamp}_error_log.txt"
+        try:
+            with open(path, "w") as f:
+                f.write(" ".join(sys.argv) + "\n\n")
+                traceback.print_exc(file=f)
+            print(f"fatal error — details in {path}", file=sys.stderr)
+        except OSError:
+            pass
+        raise
+
+
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(_main_with_crashlog())

@@ -36,21 +36,19 @@ def job_center(ctx: HitContext, t: int) -> int:
     return (ctx.job_base + t) * (2 * ctx.n + 1) + ctx.n
 
 
-def decode_record(ctx: HitContext, t: int, flat: int):
-    """-> (code, list of giant indices m to examine)."""
-    n = ctx.n
+def giant_indices(ctx: HitContext, code: int, t: int, j: int):
+    """Giant indices m to examine for a decoded (code, t, j) hit."""
     c = job_center(ctx, t)
-    if flat < n:
-        return 1, [c - (flat + 1)]  # + branch: M + O_j = Q0 - (c-j) S G
-    if flat < 2 * n:
-        return 2, [c + (flat - n + 1)]  # - branch
-    if flat < 3 * n:
-        j = flat - 2 * n + 1
-        return 4, [c - j, c + j]  # exact landing: M == +-O_j
-    return 5, [c]  # center probe
+    if code == 1:
+        return [c - j]  # + branch: M + O_j = Q0 - (c-j) S G
+    if code == 2:
+        return [c + j]  # - branch
+    if code == 4:
+        return [c - j, c + j]  # exact landing: M == +-O_j
+    return [c]  # center probe
 
 
-def verify_hit(ctx: HitContext, table: BabyTable, t: int, flat: int):
+def verify_hit(ctx: HitContext, table: BabyTable, code: int, t: int, j: int):
     """Re-derive and exactly verify one hit record.
 
     Returns the private key k with k*G == Q if the hit is real, else None.
@@ -58,7 +56,7 @@ def verify_hit(ctx: HitContext, table: BabyTable, t: int, flat: int):
     matches the recomputed landing X (duplicate-walk like the reference,
     1_9_7File.pb:4266-4277), plus k0 = m*S for exact landings.
     """
-    code, ms = decode_record(ctx, t, flat)
+    ms = giant_indices(ctx, code, t, j)
     q0 = ecpy.sub(ctx.q, ecpy.mul(ctx.pk))  # Q - pk*G
     for m in ms:
         if m < 0:

@@ -39,7 +39,6 @@ class SolverConfig:
     window: int = 16
     chunk: int = 256
     hit_cap: int = 512
-    per_job_cap: int = 32
     table_tile: int = 1 << 14
 
     @property
@@ -144,15 +143,15 @@ class Solver:
                 break
             first_job = epoch * cfg.jobs_per_epoch
             cx, cy, cinf = self.epoch_centers(q0, first_job, cfg.jobs_per_epoch)
-            buf, cnt, gs = giant.run_epoch(
+            idxs, cnt, gs = giant.run_epoch(
                 cx, cy, cinf, self.ox, self.oy,
                 self.baby.offsets, self.baby.disc,
                 htsz=cfg.htsz, window=cfg.window, chunk=cfg.chunk,
-                hit_cap=cfg.hit_cap, per_job_cap=cfg.per_job_cap,
+                hit_cap=cfg.hit_cap,
             )
             steps += int(gs)
             cnt = int(cnt)
-            if cnt > cfg.hit_cap - cfg.per_job_cap:
+            if cnt > cfg.hit_cap:
                 raise RuntimeError(
                     f"hit buffer overflow ({cnt}); table too collision-heavy"
                 )
@@ -161,11 +160,14 @@ class Solver:
                     q=pub, pk=pk, s=cfg.stride, n=cfg.n_offsets,
                     job_base=first_job,
                 )
-                recs = np.asarray(buf)
-                recs = recs[recs[:, 0] != giant.FILL]
-                for t, flat in recs:
+                recs = np.asarray(idxs)
+                recs = recs[recs != giant.FILL]
+                for flat in recs:
                     hits_checked += 1
-                    k = checker.verify_hit(ctx, self.baby, int(t), int(flat))
+                    code, t, j = giant.decode_flat(
+                        int(flat), cfg.jobs_per_epoch, cfg.n_offsets
+                    )
+                    k = checker.verify_hit(ctx, self.baby, code, t, j)
                     if k is not None and pk <= k <= pke:
                         return SolveResult(
                             k, steps, time.time() - t0,

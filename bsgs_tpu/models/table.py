@@ -111,21 +111,16 @@ def pack_table(prefixes: np.ndarray, htsz: int, window: int = 16) -> BabyTable:
     (the reference enforces the analogous -w/-htsz safety bounds
     interactively, 1_9_7File.pb:4412-4472; here it is a hard invariant).
     """
+    from ..utils import native
+
     w = prefixes.shape[0]
-    order = np.argsort(prefixes, kind="stable")
-    sorted_pre = prefixes[order]
-    sorted_pos = (order + 1).astype(np.uint32)  # baby index is 1-based
-    buckets = (sorted_pre >> np.uint64(64 - htsz)).astype(np.int64)
-    counts = np.bincount(buckets, minlength=1 << htsz)
-    maxb = int(counts.max()) if w else 0
+    sorted_pre, sorted_pos = native.sort_prefixes(prefixes)
+    offsets, disc, maxb = native.csr_pack(sorted_pre, htsz)
     if maxb > window:
         raise ValueError(
             f"bucket overflow: max bucket {maxb} > window {window}; "
             f"increase htsz (w={w}, htsz={htsz})"
         )
-    offsets = np.zeros((1 << htsz) + 1, dtype=np.uint32)
-    np.cumsum(counts, out=offsets[1:])
-    disc = ((sorted_pre << np.uint64(htsz)) >> np.uint64(32)).astype(np.uint32)
     disc_pad = np.concatenate([disc, np.zeros(window, np.uint32)])
     return BabyTable(
         w=w,

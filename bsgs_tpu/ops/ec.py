@@ -34,8 +34,8 @@ _U32 = jnp.uint32
 # Batch inversion (Montgomery trick)
 
 
-@partial(jax.jit, static_argnames=('chunk',))
-def batch_inv(a, chunk: int = 256):
+@partial(jax.jit, static_argnames=('chunk', 'chain'))
+def batch_inv(a, chunk: int = 256, chain: bool = False):
     """Elementwise modular inverse of a (B, 16) batch, one Fermat inversion
     per ~B/chunk group plus 3 multiplies per element.
 
@@ -45,7 +45,11 @@ def batch_inv(a, chunk: int = 256):
     """
     B = a.shape[0]
     if B <= chunk:
-        return F.inv_mod(a)
+        # chain=True uses the addition-chain Fermat (~273 vs ~511 dependent
+        # multiplies): wins on the latency-critical giant-step path, but
+        # its graph compiles ~25x slower, so cold paths keep the rolled
+        # ladder.
+        return F.inv_mod_chain(a) if chain else F.inv_mod(a)
     C = chunk
     pad = (-B) % C
     if pad:
@@ -59,7 +63,7 @@ def batch_inv(a, chunk: int = 256):
         return y, y
 
     tot, prefixes = jax.lax.scan(fwd, ones, ar)
-    inv_tot = batch_inv(tot, chunk)  # (W, 16)
+    inv_tot = batch_inv(tot, chunk, chain)  # (W, 16)
 
     pref_prev = jnp.concatenate([ones[None], prefixes[:-1]], axis=0)
 

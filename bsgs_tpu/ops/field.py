@@ -346,16 +346,65 @@ def pow_mod_bits(a, e: int):
 def inv_mod(a):
     """a^(p-2) mod p — branch-free Fermat inversion. inv(0) == 0.
 
-    Implemented as the generic rolled square-and-multiply ladder rather
-    than an unrolled addition chain: the traced graph is ONE square + ONE
-    multiply inside a fori_loop, which keeps compile times of every
-    enclosing kernel small. The ~1.7x extra multiplies are irrelevant
-    because inversion cost is amortized over Montgomery-trick batches
-    (ops/ec.batch_inv) everywhere that matters. Replaces the reference's
-    binary extended Euclid (lib/Curve64.pb:2457-2523) — on TPU a
-    branch-free fixed ladder beats data-dependent loops.
+    Generic rolled square-and-multiply ladder: the traced graph is ONE
+    square + ONE multiply inside a fori_loop — smallest possible graph for
+    cold-path callers. Hot kernels use inv_mod_chain below. Replaces the
+    reference's binary extended Euclid (lib/Curve64.pb:2457-2523) — on TPU
+    a branch-free fixed ladder beats data-dependent loops.
     """
     return pow_mod_bits(a, P_INT - 2)
+
+
+def _sqr_n(x, n: int):
+    """n repeated squarings with a rolled loop (1-sqr graph)."""
+    if n <= 2:
+        for _ in range(n):
+            x = sqr_mod(x)
+        return x
+    return jax.lax.fori_loop(0, n, lambda _, v: sqr_mod(v), x)
+
+
+@jax.jit
+def inv_mod_chain(a):
+    """Fermat inversion via an addition chain: 255 squarings + 15
+    multiplies (p-2 = (2^223-1)*2^33 + 0xFFFFFC2D), ~273 sequential
+    multiplies instead of pow_mod_bits' ~511.
+
+    The batch-inversion Fermat sits on the critical path of every
+    giant-step job (it inverts the chunk totals, ops/ec.batch_inv), and at
+    TPU batch widths that path is LATENCY-bound — sequential dependent
+    multiplies — so halving the chain length matters. Graph is ~30 mulmod
+    subgraphs; only hot kernels should inline it.
+    """
+    x1 = a
+    x2 = mul_mod(_sqr_n(x1, 1), x1)      # a^(2^2 - 1)
+    x4 = mul_mod(_sqr_n(x2, 2), x2)      # a^(2^4 - 1)
+    x8 = mul_mod(_sqr_n(x4, 4), x4)      # a^(2^8 - 1)
+    x16 = mul_mod(_sqr_n(x8, 8), x8)     # a^(2^16 - 1)
+    x32 = mul_mod(_sqr_n(x16, 16), x16)  # a^(2^32 - 1)
+    x64 = mul_mod(_sqr_n(x32, 32), x32)  # a^(2^64 - 1)
+    x128 = mul_mod(_sqr_n(x64, 64), x64)  # a^(2^128 - 1)
+    # 223 = 128 + 64 + 16 + 8 + 4 + 2 + 1
+    t = mul_mod(_sqr_n(x128, 64), x64)   # 2^192 - 1
+    t = mul_mod(_sqr_n(t, 16), x16)      # 2^208 - 1
+    t = mul_mod(_sqr_n(t, 8), x8)        # 2^216 - 1
+    t = mul_mod(_sqr_n(t, 4), x4)        # 2^220 - 1
+    t = mul_mod(_sqr_n(t, 2), x2)        # 2^222 - 1
+    t = mul_mod(_sqr_n(t, 1), x1)        # 2^223 - 1
+    # tail: e = (2^223 - 1) * 2^33 + 0xFFFFFC2D, walked MSB-first over the
+    # 33 bits of the tail (square always, multiply where the bit is set).
+    # Rolled as a fori_loop over a constant bit array: the traced graph is
+    # ONE square + ONE select-multiply (an unrolled tail alone costs ~25 s
+    # of XLA compile; runtime is identical — same 33 sequential rounds).
+    tail_bits = jnp.asarray(
+        np.array([int(b) for b in bin(0xFFFFFC2D)[2:].zfill(33)], np.uint32)
+    )
+
+    def tail_body(i, v):
+        v = sqr_mod(v)
+        return jnp.where(tail_bits[i] == 1, mul_mod(v, x1), v)
+
+    return jax.lax.fori_loop(0, 33, tail_body, t)
 
 
 @jax.jit
@@ -366,6 +415,62 @@ def sqrt_mod(a):
     at :2630) which uses the same p ≡ 3 (mod 4) exponent.
     """
     return pow_mod_bits(a, (P_INT + 1) // 4)
+
+
+# ---------------------------------------------------------------------------
+# Bit/shift utilities (parity with the reference's compare/bit-op surface,
+# lib/Curve64.pb:475-839: shl/shr/testbit/even/and/or)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def shr_bits(a, n: int):
+    """Logical right shift of a 256-bit value by 0 <= n < 256."""
+    limb_sh, bit_sh = divmod(n, LIMB_BITS)
+    x = a
+    if limb_sh:
+        x = jnp.concatenate(
+            [x[..., limb_sh:], jnp.zeros(x.shape[:-1] + (limb_sh,), _U32)],
+            axis=-1,
+        )
+    if bit_sh:
+        hi_in = jnp.concatenate(
+            [x[..., 1:], jnp.zeros(x.shape[:-1] + (1,), _U32)], axis=-1
+        )
+        x = ((x >> _U32(bit_sh)) | (hi_in << _U32(LIMB_BITS - bit_sh))) & _U32(
+            LIMB_MASK
+        )
+    return x
+
+
+@partial(jax.jit, static_argnames=("n",))
+def shl_bits(a, n: int):
+    """Left shift by 0 <= n < 256 (mod 2^256)."""
+    limb_sh, bit_sh = divmod(n, LIMB_BITS)
+    x = a
+    if limb_sh:
+        x = jnp.concatenate(
+            [jnp.zeros(x.shape[:-1] + (limb_sh,), _U32), x[..., :-limb_sh]],
+            axis=-1,
+        )
+    if bit_sh:
+        lo_in = jnp.concatenate(
+            [jnp.zeros(x.shape[:-1] + (1,), _U32), x[..., :-1]], axis=-1
+        )
+        x = ((x << _U32(bit_sh)) | (lo_in >> _U32(LIMB_BITS - bit_sh))) & _U32(
+            LIMB_MASK
+        )
+    return x
+
+
+@partial(jax.jit, static_argnames=("i",))
+def test_bit(a, i: int):
+    """Bit i of a 256-bit value, as a batch bool."""
+    return ((a[..., i // LIMB_BITS] >> _U32(i % LIMB_BITS)) & _U32(1)) == 1
+
+
+@jax.jit
+def is_even(a):
+    return (a[..., 0] & _U32(1)) == 0
 
 
 # ---------------------------------------------------------------------------

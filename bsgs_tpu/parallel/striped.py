@@ -32,13 +32,11 @@ from .mesh import CHIPS_AXIS
 from . import sharded_table as st
 
 
-def _epoch_fn_replicated(mesh: Mesh, *, chunk, hit_cap, per_job_cap, htsz,
-                         window):
+def _epoch_fn_replicated(mesh: Mesh, *, chunk, hit_cap, htsz, window):
     def body(cx, cy, cinf, ox, oy, offsets, disc):
         probe_fn = giant.make_probe(offsets, disc, htsz=htsz, window=window)
-        return giant.epoch_scan(
-            cx, cy, cinf, ox, oy, probe_fn,
-            chunk=chunk, hit_cap=hit_cap, per_job_cap=per_job_cap,
+        return giant.epoch_probes(
+            cx, cy, cinf, ox, oy, probe_fn, chunk=chunk, hit_cap=hit_cap,
         )
 
     c = P(CHIPS_AXIS)
@@ -48,19 +46,19 @@ def _epoch_fn_replicated(mesh: Mesh, *, chunk, hit_cap, per_job_cap, htsz,
             body, mesh=mesh,
             in_specs=(c, c, c, r, r, r, r),
             out_specs=(c, c),
+            check_vma=False,
         )
     )
 
 
 def _epoch_fn_sharded_table(mesh: Mesh, spec: st.ShardedTableSpec, *,
-                            chunk, hit_cap, per_job_cap):
+                            chunk, hit_cap):
     probe_sharded = st.make_sharded_probe(spec)
 
     def body(cx, cy, cinf, ox, oy, offsets_sh, disc_sh):
         probe_fn = lambda hi, lo: probe_sharded(hi, lo, offsets_sh, disc_sh)
-        return giant.epoch_scan(
-            cx, cy, cinf, ox, oy, probe_fn,
-            chunk=chunk, hit_cap=hit_cap, per_job_cap=per_job_cap,
+        return giant.epoch_probes(
+            cx, cy, cinf, ox, oy, probe_fn, chunk=chunk, hit_cap=hit_cap,
         )
 
     c = P(CHIPS_AXIS)
@@ -70,6 +68,7 @@ def _epoch_fn_sharded_table(mesh: Mesh, spec: st.ShardedTableSpec, *,
             body, mesh=mesh,
             in_specs=(c, c, c, r, r, c, c),
             out_specs=(c, c),
+            check_vma=False,
         )
     )
 
@@ -89,8 +88,7 @@ class MeshSolver:
     def __post_init__(self):
         cfg = self.base.cfg
         self.n_chips = self.mesh.devices.size
-        kw = dict(chunk=cfg.chunk, hit_cap=cfg.hit_cap,
-                  per_job_cap=cfg.per_job_cap)
+        kw = dict(chunk=cfg.chunk, hit_cap=cfg.hit_cap)
         if self.shard_baby_table:
             spec = st.shard_table(self.base.baby, self.n_chips)
             self._spec = spec
@@ -144,24 +142,25 @@ class MeshSolver:
             buf, cnt = self._run_epoch(q0, first_job)
             n = cfg.n_offsets
             steps += (2 * n + 1) * jobs_per_super
-            buf = buf.reshape(self.n_chips, cfg.hit_cap, 2)
+            buf = buf.reshape(self.n_chips, cfg.hit_cap)
             for chip in range(self.n_chips):
                 c = int(cnt[chip])
                 if c == 0:
                     continue
-                if c > cfg.hit_cap - cfg.per_job_cap:
+                if c > cfg.hit_cap:
                     raise RuntimeError("hit buffer overflow")
                 ctx = checker.HitContext(
                     q=pub, pk=pk, s=cfg.stride, n=n,
                     job_base=first_job + chip * cfg.jobs_per_epoch,
                 )
                 recs = buf[chip]
-                recs = recs[recs[:, 0] != giant.FILL]
-                for t, flat in recs:
+                recs = recs[recs != giant.FILL]
+                for flat in recs:
                     hits_checked += 1
-                    k = checker.verify_hit(
-                        ctx, self.base.baby, int(t), int(flat)
+                    code, t, j = giant.decode_flat(
+                        int(flat), cfg.jobs_per_epoch, n
                     )
+                    k = checker.verify_hit(ctx, self.base.baby, code, t, j)
                     if k is not None and pk <= k <= pke:
                         return ssolver.SolveResult(
                             k, steps, time.time() - t0, e + 1, hits_checked

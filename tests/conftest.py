@@ -7,7 +7,9 @@ bench.py, not the test suite.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU regardless of the session platform (the driver may export
+# JAX_PLATFORMS=axon/tpu): the suite needs the 8-device virtual mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
@@ -16,6 +18,12 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The axon site hook (PYTHONPATH=/root/.axon_site) force-prepends the TPU
+# platform at import time, overriding JAX_PLATFORMS; config.update wins.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

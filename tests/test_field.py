@@ -180,3 +180,21 @@ def test_jit_and_vmap_compat(rng):
     m2 = F.mul_mod(a2, b2).reshape(8, 16)
     for i, (x, y) in enumerate(zip(xs, ys)):
         assert ints(m2)[i] == (x * y) % P
+
+
+def test_shift_and_bit_ops(rng):
+    xs = rand_fe(rng, 6) + [0, 1, (1 << 256) - 1]
+    a = limbs(xs)
+    for n in [0, 1, 15, 16, 17, 64, 200, 255]:
+        r = F.shr_bits(a, n)
+        l = F.shl_bits(a, n)
+        for i, x in enumerate(xs):
+            assert ints(r)[i] == x >> n, f"shr n={n}"
+            assert ints(l)[i] == (x << n) % (1 << 256), f"shl n={n}"
+    for i_bit in [0, 1, 16, 255]:
+        tb = F.test_bit(a, i_bit)
+        for i, x in enumerate(xs):
+            assert bool(tb[i]) == bool((x >> i_bit) & 1)
+    ev = F.is_even(a)
+    for i, x in enumerate(xs):
+        assert bool(ev[i]) == (x % 2 == 0)

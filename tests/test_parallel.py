@@ -16,7 +16,7 @@ from bsgs_tpu.utils import ecpy
 def base_solver():
     cfg = smod.SolverConfig(
         w=256, htsz=6, n_offsets=8, jobs_per_epoch=2, window=16, chunk=16,
-        hit_cap=128, per_job_cap=16, table_tile=64,
+        hit_cap=128, table_tile=64,
     )
     return smod.Solver(cfg)
 
@@ -63,6 +63,7 @@ def test_sharded_probe_matches_replicated(base_solver):
         body, mesh=mesh,
         in_specs=(P("chips"), P("chips"), P("chips"), P("chips")),
         out_specs=P("chips"),
+        check_vma=False,
     ))
     got = np.asarray(f(hi, lo, jnp.asarray(spec.offsets),
                        jnp.asarray(spec.disc)))

@@ -103,3 +103,34 @@ def test_tuner_fits_memory():
 def test_tuner_range_cap():
     t = tuner.tune(mem_bytes=16 << 30, range_bits=30)
     assert t.w <= 1 << 16
+
+
+def test_native_pack_matches_numpy(rng):
+    from bsgs_tpu.utils import native
+
+    pre = rng.integers(0, 1 << 63, size=2000, dtype=np.int64).astype(np.uint64)
+    pre[10] = pre[20]  # duplicates must survive
+    sp, pos = native.sort_prefixes(pre)
+    assert (np.diff(sp.astype(np.uint64)) >= 0).all() if len(sp) else True
+    # permutation check: sorted values match numpy
+    np.testing.assert_array_equal(sp, np.sort(pre))
+    # positions are a permutation of 1..n and map back to the values
+    assert sorted(pos.tolist()) == list(range(1, 2001))
+    np.testing.assert_array_equal(pre[pos - 1], sp)
+
+    off, disc, maxb = native.csr_pack(sp, 8)
+    # fallback path for comparison
+    buckets = (sp >> np.uint64(64 - 8)).astype(np.int64)
+    counts = np.bincount(buckets, minlength=1 << 8)
+    assert maxb == counts.max()
+    np.testing.assert_array_equal(np.diff(off.astype(np.int64)), counts)
+    np.testing.assert_array_equal(
+        disc, ((sp << np.uint64(8)) >> np.uint64(32)).astype(np.uint32)
+    )
+
+
+def test_native_lib_builds():
+    from bsgs_tpu.utils import native
+
+    # the toolchain is part of the environment; the native path must load
+    assert native.available()
