@@ -50,11 +50,11 @@ _U32 = jnp.uint32
 FILL = np.uint32(0xFFFFFFFF)
 
 
-def make_probe(offsets, disc, *, htsz: int, window: int):
+def make_probe(dense, *, htsz: int):
     """Default single-device probe closure over a replicated table."""
 
     def probe_fn(hi, lo):
-        return T.probe(hi, lo, offsets, disc, htsz=htsz, window=window)
+        return T.probe(hi, lo, dense, htsz=htsz)
 
     return probe_fn
 
@@ -146,7 +146,7 @@ def decode_flat(flat: int, t_jobs: int, n: int):
 
 @partial(
     jax.jit,
-    static_argnames=("htsz", "window", "chunk", "hit_cap"),
+    static_argnames=("htsz", "chunk", "hit_cap"),
 )
 def run_epoch(
     centers_x,
@@ -154,18 +154,16 @@ def run_epoch(
     centers_inf,
     ox,
     oy,
-    offsets,
-    disc,
+    dense,
     *,
     htsz: int,
-    window: int,
     chunk: int = 256,
     hit_cap: int = 512,
 ):
     """Single-device epoch. Returns (hit indices, total_hits, giant_steps) —
     giant_steps counts probed landings, matching the reference's counter
     semantics (2 per offset add + specials, 1_9_7File.pb:2371)."""
-    probe_fn = make_probe(offsets, disc, htsz=htsz, window=window)
+    probe_fn = make_probe(dense, htsz=htsz)
     idxs, cnt = epoch_probes(
         centers_x, centers_y, centers_inf, ox, oy, probe_fn,
         chunk=chunk, hit_cap=hit_cap,

@@ -144,10 +144,8 @@ class Solver:
             first_job = epoch * cfg.jobs_per_epoch
             cx, cy, cinf = self.epoch_centers(q0, first_job, cfg.jobs_per_epoch)
             idxs, cnt, gs = giant.run_epoch(
-                cx, cy, cinf, self.ox, self.oy,
-                self.baby.offsets, self.baby.disc,
-                htsz=cfg.htsz, window=cfg.window, chunk=cfg.chunk,
-                hit_cap=cfg.hit_cap,
+                cx, cy, cinf, self.ox, self.oy, self.baby.dense,
+                htsz=cfg.htsz, chunk=cfg.chunk, hit_cap=cfg.hit_cap,
             )
             steps += int(gs)
             cnt = int(cnt)

@@ -92,26 +92,53 @@ N_LIMBS_ARR = to_limbs(N_INT)
 # ---------------------------------------------------------------------------
 # Carry machinery
 #
-# Carry/borrow propagation is a lax.scan over the limb axis: the traced
-# graph stays ~15 nodes regardless of limb count (compile time matters — a
-# giant-step kernel inlines hundreds of these), while the batch dimension
-# stays fully vectorized in every scan step.
+# Carry/borrow propagation is LOG-DEPTH Kogge-Stone over the limb axis:
+# ~25 elementwise ops on the whole (..., L) array, all fusable by XLA into
+# the surrounding multiply chain. (A lax.scan over limbs — the obvious
+# translation of the reference's sequential adc chains,
+# lib/Curve64.pb:840-1037 — compiles to an XLA While loop that breaks
+# fusion and round-trips HBM once per limb step; on TPU that made carry
+# propagation the bottleneck of the entire solver.)
+
+
+def _shift_up(x, d: int):
+    """Shift limbs toward the high end by d positions (zero-fill low)."""
+    pad = [(0, 0)] * (x.ndim - 1) + [(d, 0)]
+    return jnp.pad(x[..., :-d], pad)
+
+
+def _resolve_carries(t):
+    """Exact carry resolution of (..., L) uint32 with t < 2^17 per limb.
+
+    Returns (limbs < 2^16, carry_out in {0,1}) via generate/propagate
+    Kogge-Stone: G_i = carry out of limbs 0..i, combined in log2(L) rounds.
+    """
+    L = t.shape[-1]
+    lo = t & _U32(LIMB_MASK)
+    g = t >> _U32(LIMB_BITS)  # in {0,1}
+    p = (lo == _U32(LIMB_MASK)).astype(_U32)
+    G, P = g, p
+    d = 1
+    while d < L:
+        G = G | (P & _shift_up(G, d))
+        P = P & _shift_up(P, d)
+        d *= 2
+    c_in = _shift_up(G, 1)
+    out = (lo + c_in) & _U32(LIMB_MASK)
+    return out, G[..., -1]
 
 
 def _carry_norm_arr(cols):
     """(..., L) uint32 columns -> (normalized 16-bit limbs, carry).
 
-    Precondition: column value + incoming carry fits uint32 (columns
-    < 2^27 is always safe given carries stay below 2^16).
+    Precondition: columns < 2^27 (so the staged carries stay < 2^11 and
+    the Kogge-Stone input stays < 2^17).
     """
-    x = jnp.moveaxis(cols, -1, 0)
-
-    def body(carry, v):
-        t = v + carry
-        return t >> LIMB_BITS, t & LIMB_MASK
-
-    carry, out = jax.lax.scan(body, jnp.zeros(cols.shape[:-1], _U32), x)
-    return jnp.moveaxis(out, 0, -1), carry
+    c = cols >> _U32(LIMB_BITS)
+    t = cols & _U32(LIMB_MASK)
+    t = t.at[..., 1:].add(c[..., :-1])  # t < 2^16 + 2^11
+    out, cout = _resolve_carries(t)
+    return out, c[..., -1] + cout
 
 
 def _stack_cols(cols):
@@ -130,23 +157,24 @@ def add_raw(a, b):
 
 @jax.jit
 def sub_raw(a, b):
-    """256-bit a - b -> (diff mod 2^256, borrow in {0,1})."""
+    """256-bit a - b -> (diff mod 2^256, borrow in {0,1}).
+
+    Computed as a + ~b + 1 with Kogge-Stone carries; borrow = 1 - carry.
+    """
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     a = jnp.broadcast_to(a, shape)
     b = jnp.broadcast_to(b, shape)
-    x = jnp.moveaxis(a, -1, 0)
-    y = jnp.moveaxis(b, -1, 0)
-    top = _U32(1 << LIMB_BITS)
-
-    def body(borrow, ab):
-        ai, bi = ab
-        t = ai + top - bi - borrow
-        return _U32(1) - (t >> LIMB_BITS), t & LIMB_MASK
-
-    borrow, out = jax.lax.scan(
-        body, jnp.zeros(a.shape[:-1], _U32), (x, y)
-    )
-    return jnp.moveaxis(out, 0, -1), borrow
+    t = a + (b ^ _U32(LIMB_MASK))  # < 2^17
+    t = t.at[..., 0].add(_U32(1))
+    # t < 2^17 + 1; one pre-stage keeps the KS input in range
+    c = t >> _U32(LIMB_BITS)
+    t = t & _U32(LIMB_MASK)
+    t = t.at[..., 1:].add(c[..., :-1])
+    out, cout = _resolve_carries(t)
+    # carry out of limb L-1 from the pre-stage is c[-1]; total in {0,1,2}
+    # but for a+~b+1 < 2^257 it is in {0,1}
+    carry = c[..., -1] + cout
+    return out, _U32(1) - carry
 
 
 @jax.jit

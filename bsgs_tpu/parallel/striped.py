@@ -32,9 +32,9 @@ from .mesh import CHIPS_AXIS
 from . import sharded_table as st
 
 
-def _epoch_fn_replicated(mesh: Mesh, *, chunk, hit_cap, htsz, window):
-    def body(cx, cy, cinf, ox, oy, offsets, disc):
-        probe_fn = giant.make_probe(offsets, disc, htsz=htsz, window=window)
+def _epoch_fn_replicated(mesh: Mesh, *, chunk, hit_cap, htsz):
+    def body(cx, cy, cinf, ox, oy, dense):
+        probe_fn = giant.make_probe(dense, htsz=htsz)
         return giant.epoch_probes(
             cx, cy, cinf, ox, oy, probe_fn, chunk=chunk, hit_cap=hit_cap,
         )
@@ -44,7 +44,7 @@ def _epoch_fn_replicated(mesh: Mesh, *, chunk, hit_cap, htsz, window):
     return jax.jit(
         _shard_map(
             body, mesh=mesh,
-            in_specs=(c, c, c, r, r, r, r),
+            in_specs=(c, c, c, r, r, r),
             out_specs=(c, c),
             check_vma=False,
         )
@@ -55,8 +55,8 @@ def _epoch_fn_sharded_table(mesh: Mesh, spec: st.ShardedTableSpec, *,
                             chunk, hit_cap):
     probe_sharded = st.make_sharded_probe(spec)
 
-    def body(cx, cy, cinf, ox, oy, offsets_sh, disc_sh):
-        probe_fn = lambda hi, lo: probe_sharded(hi, lo, offsets_sh, disc_sh)
+    def body(cx, cy, cinf, ox, oy, dense_sh):
+        probe_fn = lambda hi, lo: probe_sharded(hi, lo, dense_sh)
         return giant.epoch_probes(
             cx, cy, cinf, ox, oy, probe_fn, chunk=chunk, hit_cap=hit_cap,
         )
@@ -66,7 +66,7 @@ def _epoch_fn_sharded_table(mesh: Mesh, spec: st.ShardedTableSpec, *,
     return jax.jit(
         _shard_map(
             body, mesh=mesh,
-            in_specs=(c, c, c, r, r, c, c),
+            in_specs=(c, c, c, r, r, c),
             out_specs=(c, c),
             check_vma=False,
         )
@@ -93,13 +93,10 @@ class MeshSolver:
             spec = st.shard_table(self.base.baby, self.n_chips)
             self._spec = spec
             sh = NamedSharding(self.mesh, P(CHIPS_AXIS))
-            self._offsets_sh = jax.device_put(spec.offsets, sh)
-            self._disc_sh = jax.device_put(spec.disc, sh)
+            self._dense_sh = jax.device_put(spec.dense, sh)
             self._epoch = _epoch_fn_sharded_table(self.mesh, spec, **kw)
         else:
-            self._epoch = _epoch_fn_replicated(
-                self.mesh, htsz=cfg.htsz, window=cfg.window, **kw
-            )
+            self._epoch = _epoch_fn_replicated(self.mesh, htsz=cfg.htsz, **kw)
 
     def _run_epoch(self, q0, first_job: int):
         cfg = self.base.cfg
@@ -110,13 +107,12 @@ class MeshSolver:
         cx, cy, cinf = (jax.device_put(a, sh) for a in (cx, cy, cinf))
         if self.shard_baby_table:
             buf, cnt = self._epoch(
-                cx, cy, cinf, self.base.ox, self.base.oy,
-                self._offsets_sh, self._disc_sh,
+                cx, cy, cinf, self.base.ox, self.base.oy, self._dense_sh,
             )
         else:
             buf, cnt = self._epoch(
                 cx, cy, cinf, self.base.ox, self.base.oy,
-                self.base.baby.offsets, self.base.baby.disc,
+                self.base.baby.dense,
             )
         return np.asarray(buf), np.asarray(cnt)
 

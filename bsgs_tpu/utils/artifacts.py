@@ -19,12 +19,13 @@ from . import ecpy
 
 
 def baby_table_path(cache_dir: str, w: int, htsz: int, window: int) -> str:
-    return os.path.join(cache_dir, f"baby_w{w}_h{htsz}_win{window}_v1.npz")
+    return os.path.join(cache_dir, f"baby_w{w}_h{htsz}_win{window}_v2.npz")
 
 
 def save_baby_table(table: tbl.BabyTable, path: str) -> None:
     """Atomic write (temp + rename), like the reference's checkpoint
-    discipline (1_9_7File.pb:3897-3931)."""
+    discipline (1_9_7File.pb:3897-3931). Only the sorted host arrays are
+    persisted; the device dense matrix is re-derived on load."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
                                suffix=".tmp")
@@ -37,8 +38,6 @@ def save_baby_table(table: tbl.BabyTable, path: str) -> None:
                 window=table.window,
                 sorted_pre=table.sorted_pre,
                 sorted_pos=table.sorted_pos,
-                offsets=np.asarray(table.offsets),
-                disc=np.asarray(table.disc),
             )
         os.replace(tmp, path)
     finally:
@@ -51,16 +50,23 @@ def load_baby_table(path: str, spot_checks: int = 8) -> tbl.BabyTable:
     1_9_7File.pb:3101-3134): random r in [1, w], recompute r*G exactly,
     require the stored prefix to match."""
     import jax.numpy as jnp
+    from . import native
 
     z = np.load(path)
+    htsz = int(z["htsz"])
+    window = int(z["window"])
+    sorted_pre = z["sorted_pre"]
+    offsets, disc, maxb = native.csr_pack(sorted_pre, htsz)
+    if maxb > window:
+        raise ValueError(f"corrupt baby table artifact (bucket overflow): {path}")
     table = tbl.BabyTable(
         w=int(z["w"]),
-        htsz=int(z["htsz"]),
-        window=int(z["window"]),
-        sorted_pre=z["sorted_pre"],
+        htsz=htsz,
+        window=window,
+        sorted_pre=sorted_pre,
         sorted_pos=z["sorted_pos"],
-        offsets=jnp.asarray(z["offsets"]),
-        disc=jnp.asarray(z["disc"]),
+        offsets_host=offsets,
+        dense=jnp.asarray(tbl.dense_from_csr(offsets, disc, window)),
     )
     rng = np.random.default_rng(0xB5B5)
     for _ in range(min(spot_checks, table.w)):

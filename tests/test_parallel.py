@@ -29,10 +29,8 @@ def test_shard_table_roundtrip():
     table = tbl.build_baby_table(256, 6, window=16, tile=64)
     spec = st.shard_table(table, 4)
     # every entry present exactly once across shards
-    total = sum(
-        int(spec.offsets[s][-1]) for s in range(4)
-    )
-    assert total == 256
+    assert int(spec.shard_entries.sum()) == 256
+    assert int((spec.dense != tbl.DENSE_FILL).sum()) == 256
 
 
 def test_sharded_probe_matches_replicated(base_solver):
@@ -56,17 +54,16 @@ def test_sharded_probe_matches_replicated(base_solver):
 
     hi, lo = F.x_prefix64(xl)
 
-    def body(hi, lo, off, disc):
-        return probe_sh(hi, lo, off, disc)
+    def body(hi, lo, dense):
+        return probe_sh(hi, lo, dense)
 
     f = jax.jit(shard_map(
         body, mesh=mesh,
-        in_specs=(P("chips"), P("chips"), P("chips"), P("chips")),
+        in_specs=(P("chips"), P("chips"), P("chips")),
         out_specs=P("chips"),
         check_vma=False,
     ))
-    got = np.asarray(f(hi, lo, jnp.asarray(spec.offsets),
-                       jnp.asarray(spec.disc)))
+    got = np.asarray(f(hi, lo, jnp.asarray(spec.dense)))
     np.testing.assert_array_equal(got, expect)
 
 

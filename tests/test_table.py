@@ -73,7 +73,5 @@ def test_probe_respects_bucket_boundaries(rng):
     # probe for disc 222 in bucket 2 (only bucket 3 has it)
     hi = jnp.asarray([(2 << 28) | (222 >> 4)], dtype=jnp.uint32)
     lo = jnp.asarray([(222 << 28) & 0xFFFFFFFF], dtype=jnp.uint32)
-    found = np.asarray(
-        T.probe(hi, lo, tab.offsets, tab.disc, htsz=htsz, window=8)
-    )
+    found = np.asarray(T.probe(hi, lo, tab.dense, htsz=htsz))
     assert not found[0]

@@ -49,7 +49,7 @@ def test_artifact_roundtrip(tmp_path):
     assert loaded.w == table.w
     np.testing.assert_array_equal(loaded.sorted_pre, table.sorted_pre)
     np.testing.assert_array_equal(
-        np.asarray(loaded.disc), np.asarray(table.disc)
+        np.asarray(loaded.dense), np.asarray(table.dense)
     )
 
 
