@@ -130,24 +130,27 @@ def dense_from_csr(offsets: np.ndarray, disc: np.ndarray,
     return dense
 
 
+def fit_window(maxb: int, window: int) -> int:
+    """Actual probe window: the requested minimum, grown (in steps of 4
+    lanes = 16 B of gather row) to fit the largest bucket."""
+    return max(window, -(-maxb // 4) * 4)
+
+
 def pack_table(prefixes: np.ndarray, htsz: int, window: int = 16) -> BabyTable:
     """Sort + cumsum CSR pack of 64-bit prefixes, densified per bucket
     (host-side numpy/native).
 
-    Raises if any bucket exceeds the probe window — callers bump htsz
-    (the reference enforces the analogous -w/-htsz safety bounds
-    interactively, 1_9_7File.pb:4412-4472; here it is a hard invariant).
+    ``window`` is a MINIMUM; the dense row width auto-grows to the largest
+    bucket (the reference instead enforces -w/-htsz safety bounds
+    interactively and refuses, 1_9_7File.pb:4412-4472 — auto-growing keeps
+    every (w, htsz) combination valid at a small probe-bandwidth cost).
     """
     from ..utils import native
 
     w = prefixes.shape[0]
     sorted_pre, sorted_pos = native.sort_prefixes(prefixes)
     offsets, disc, maxb = native.csr_pack(sorted_pre, htsz)
-    if maxb > window:
-        raise ValueError(
-            f"bucket overflow: max bucket {maxb} > window {window}; "
-            f"increase htsz (w={w}, htsz={htsz})"
-        )
+    window = fit_window(maxb, window)
     return BabyTable(
         w=w,
         htsz=htsz,

@@ -18,8 +18,10 @@ from ..models import table as tbl
 from . import ecpy
 
 
-def baby_table_path(cache_dir: str, w: int, htsz: int, window: int) -> str:
-    return os.path.join(cache_dir, f"baby_w{w}_h{htsz}_win{window}_v2.npz")
+def baby_table_path(cache_dir: str, w: int, htsz: int, window: int = 0) -> str:
+    # window is not part of the key: the artifact stores the sorted
+    # prefixes, from which any window re-derives on load.
+    return os.path.join(cache_dir, f"baby_w{w}_h{htsz}_v3.npz")
 
 
 def save_baby_table(table: tbl.BabyTable, path: str) -> None:
@@ -54,11 +56,9 @@ def load_baby_table(path: str, spot_checks: int = 8) -> tbl.BabyTable:
 
     z = np.load(path)
     htsz = int(z["htsz"])
-    window = int(z["window"])
     sorted_pre = z["sorted_pre"]
     offsets, disc, maxb = native.csr_pack(sorted_pre, htsz)
-    if maxb > window:
-        raise ValueError(f"corrupt baby table artifact (bucket overflow): {path}")
+    window = tbl.fit_window(maxb, int(z["window"]))
     table = tbl.BabyTable(
         w=int(z["w"]),
         htsz=htsz,

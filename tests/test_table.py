@@ -48,12 +48,14 @@ def test_lookup_positions():
     assert tab.lookup_positions(ecpy.mul(w + 5)[0]) == []
 
 
-def test_bucket_overflow_raises():
-    # all prefixes in one bucket must violate window
+def test_bucket_overflow_grows_window():
+    # all prefixes land in one bucket, exceeding the requested window;
+    # the window auto-grows (in steps of 4) to fit the largest bucket
     pre = np.zeros(40, dtype=np.uint64)
     pre[:] = np.arange(40)  # bucket 0 for htsz bits of zeros
-    with pytest.raises(ValueError):
-        T.pack_table(pre, htsz=8, window=16)
+    tab = T.pack_table(pre, htsz=8, window=16)
+    assert tab.window == 40
+    assert tab.dense.shape[1] == 40
 
 
 def test_duplicate_prefixes_kept():
