@@ -144,6 +144,77 @@ def decode_flat(flat: int, t_jobs: int, n: int):
     return 5, flat - 3 * tn, 0
 
 
+def _mask_to_hits(mask, hit_cap: int):
+    """Shared hit extraction: count + lax.cond-guarded compaction."""
+    cnt = jnp.sum(mask, dtype=jnp.int32)
+
+    def extract(m):
+        (idx,) = jnp.nonzero(m, size=hit_cap, fill_value=-1)
+        return jnp.where(idx >= 0, idx.astype(_U32), jnp.asarray(FILL))
+
+    idxs = jax.lax.cond(
+        cnt > 0,
+        extract,
+        lambda m: jnp.full((hit_cap,), jnp.asarray(FILL)),
+        mask,
+    )
+    return idxs, cnt[None]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("htsz", "chunk_c", "lanes_w", "hit_cap", "interpret"),
+)
+def run_epoch_fused(
+    centers_x,
+    centers_y,
+    centers_inf,
+    ox_pl,
+    oy_pl,
+    dense,
+    *,
+    htsz: int,
+    chunk_c: int = 64,
+    lanes_w: int = 256,
+    hit_cap: int = 512,
+    interpret: bool = False,
+):
+    """Pallas-fused epoch (TPU hot path): identical contract to run_epoch
+    but with the EC math in two VMEM-resident kernels
+    (ops/epoch_kernel.epoch_landing_keys); XLA keeps only the table row
+    gather, mask combine, and hit compaction. Offsets come PLANAR (16, N).
+    """
+    from ..ops import epoch_kernel as EK
+
+    t_jobs = centers_x.shape[0]
+    n = ox_pl.shape[1]
+    keys = EK.epoch_landing_keys(
+        jnp.swapaxes(centers_x, 0, 1),
+        jnp.swapaxes(centers_y, 0, 1),
+        ox_pl,
+        oy_pl,
+        htsz=htsz,
+        chunk_c=chunk_c,
+        lanes_w=lanes_w,
+        interpret=interpret,
+    )
+    exact = keys[4] != 0
+    found_p = T.probe_keys(keys[0], keys[1], dense)
+    found_m = T.probe_keys(keys[2], keys[3], dense)
+    hc_hi, hc_lo = F.x_prefix64(centers_x)
+    found_c = T.probe(hc_hi, hc_lo, dense, htsz=htsz)
+    mask = jnp.concatenate(
+        [
+            found_p & ~exact,
+            found_m & ~exact,
+            exact,
+            found_c | centers_inf,
+        ]
+    )
+    idxs, cnt = _mask_to_hits(mask, hit_cap)
+    return idxs, cnt[0], (2 * n + 1) * t_jobs
+
+
 @partial(
     jax.jit,
     static_argnames=("htsz", "chunk", "hit_cap"),

@@ -40,6 +40,11 @@ class SolverConfig:
     chunk: int = 256
     hit_cap: int = 512
     table_tile: int = 1 << 14
+    # Pallas-fused epoch kernel (models/giant.run_epoch_fused). None = auto:
+    # on when running on TPU and n_offsets divides the kernel block.
+    fused: Optional[bool] = None
+    chunk_c: int = 64
+    lanes_w: int = 256
 
     @property
     def stride(self) -> int:
@@ -76,6 +81,20 @@ class Solver:
         self.ox, self.oy = ec.fill_multiples(s_g, s_g, cfg.n_offsets)
         # Epoch center stepping: centers advance by -(2N+1)*S*G.
         self.center_step = ecpy.neg(ecpy.mul(cfg.jobs_span * cfg.stride))
+        import jax
+
+        self.fused = cfg.fused
+        if self.fused is None:
+            self.fused = (
+                jax.default_backend() == "tpu"
+                and cfg.n_offsets % (cfg.chunk_c * cfg.lanes_w) == 0
+            )
+        # Off-TPU the kernels run in Pallas interpreter mode (tests/debug).
+        self._interpret = jax.default_backend() != "tpu"
+        if self.fused:
+            # Planar offset planes for the Pallas kernels (16, N).
+            self.ox_pl = jnp.swapaxes(self.ox, 0, 1)
+            self.oy_pl = jnp.swapaxes(self.oy, 0, 1)
 
     # -- center generation -------------------------------------------------
     def epoch_centers(self, q0, first_job: int, n_jobs: int):
@@ -143,10 +162,18 @@ class Solver:
                 break
             first_job = epoch * cfg.jobs_per_epoch
             cx, cy, cinf = self.epoch_centers(q0, first_job, cfg.jobs_per_epoch)
-            idxs, cnt, gs = giant.run_epoch(
-                cx, cy, cinf, self.ox, self.oy, self.baby.dense,
-                htsz=cfg.htsz, chunk=cfg.chunk, hit_cap=cfg.hit_cap,
-            )
+            if self.fused:
+                idxs, cnt, gs = giant.run_epoch_fused(
+                    cx, cy, cinf, self.ox_pl, self.oy_pl, self.baby.dense,
+                    htsz=cfg.htsz, chunk_c=cfg.chunk_c,
+                    lanes_w=cfg.lanes_w, hit_cap=cfg.hit_cap,
+                    interpret=self._interpret,
+                )
+            else:
+                idxs, cnt, gs = giant.run_epoch(
+                    cx, cy, cinf, self.ox, self.oy, self.baby.dense,
+                    htsz=cfg.htsz, chunk=cfg.chunk, hit_cap=cfg.hit_cap,
+                )
             steps += int(gs)
             cnt = int(cnt)
             if cnt > cfg.hit_cap:

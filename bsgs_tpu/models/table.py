@@ -167,6 +167,14 @@ def build_baby_table(w: int, htsz: int, window: int = 16,
     return pack_table(compute_prefixes(w, tile=tile), htsz, window)
 
 
+@jax.jit
+def probe_keys(bucket, disc, dense):
+    """Membership probe from precomputed (bucket, disc) keys (as produced
+    in-kernel by ops/epoch_kernel): one dense row gather + compare."""
+    win = dense[bucket]
+    return jnp.any(win == disc[..., None], axis=-1)
+
+
 @partial(jax.jit, static_argnames=("htsz",))
 def probe(hi, lo, dense, *, htsz: int):
     """Vectorized membership probe of 64-bit prefixes against the table.
