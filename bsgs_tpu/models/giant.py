@@ -59,6 +59,23 @@ def make_probe(dense, *, htsz: int):
     return probe_fn
 
 
+def _mask_to_hits(mask, hit_cap: int):
+    """Shared hit extraction: count + lax.cond-guarded compaction."""
+    cnt = jnp.sum(mask, dtype=jnp.int32)
+
+    def extract(m):
+        (idx,) = jnp.nonzero(m, size=hit_cap, fill_value=-1)
+        return jnp.where(idx >= 0, idx.astype(_U32), jnp.asarray(FILL))
+
+    idxs = jax.lax.cond(
+        cnt > 0,
+        extract,
+        lambda m: jnp.full((hit_cap,), jnp.asarray(FILL)),
+        mask,
+    )
+    return idxs, cnt[None]
+
+
 def epoch_probes(
     centers_x,
     centers_y,
@@ -111,19 +128,8 @@ def epoch_probes(
             found[2 * tn :] | centers_inf,
         ]
     )
-    cnt = jnp.sum(mask, dtype=jnp.int32)
-
-    def extract(m):
-        (idx,) = jnp.nonzero(m, size=hit_cap, fill_value=-1)
-        return jnp.where(idx >= 0, idx.astype(_U32), jnp.asarray(FILL))
-
-    idxs = jax.lax.cond(
-        cnt > 0,
-        extract,
-        lambda m: jnp.full((hit_cap,), jnp.asarray(FILL)),
-        mask,
-    )
-    return idxs, cnt[None]
+    idxs, cnt = _mask_to_hits(mask, hit_cap)
+    return idxs, cnt
 
 
 def decode_flat(flat: int, t_jobs: int, n: int):
@@ -142,23 +148,6 @@ def decode_flat(flat: int, t_jobs: int, n: int):
         f = flat - 2 * tn
         return 4, f // n, f % n + 1
     return 5, flat - 3 * tn, 0
-
-
-def _mask_to_hits(mask, hit_cap: int):
-    """Shared hit extraction: count + lax.cond-guarded compaction."""
-    cnt = jnp.sum(mask, dtype=jnp.int32)
-
-    def extract(m):
-        (idx,) = jnp.nonzero(m, size=hit_cap, fill_value=-1)
-        return jnp.where(idx >= 0, idx.astype(_U32), jnp.asarray(FILL))
-
-    idxs = jax.lax.cond(
-        cnt > 0,
-        extract,
-        lambda m: jnp.full((hit_cap,), jnp.asarray(FILL)),
-        mask,
-    )
-    return idxs, cnt[None]
 
 
 @partial(

@@ -140,7 +140,8 @@ class Solver:
         1_9_7File.pb:2077-2092, with deterministic striding).
         """
         cfg = self.cfg
-        assert ecpy.is_on_curve(pub) and pub is not None
+        if pub is None or not ecpy.is_on_curve(pub):
+            raise ValueError("pubkey is not a point on secp256k1")
         # Shortcut checks, like the reference's Q==G / Q==2G fast paths
         # (1_9_7File.pb:5069-5107): k0 == 0 means Q == pk*G.
         if ecpy.mul(pk) == pub:

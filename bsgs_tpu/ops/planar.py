@@ -286,16 +286,21 @@ def inv_mod_chain(a, unroll: bool = False):
                 t = mul_mod(t, x1)
         return t
 
+    # Bit 32 of the 33-bit tail is always 0: square once up front, then walk
+    # the remaining 32 bits with shift amounts in [0, 31] (a shift of 32 on
+    # uint32 is undefined and lowering-dependent inside Mosaic kernels).
+    t = sqr_mod(t)
+
     def body(i, v):
         v = sqr_mod(v)
-        # bit i (MSB-first over 33 bits) via scalar shift of the constant —
-        # no (33,) array constant, so this traces inside Pallas kernels
-        bit = (jnp.uint32(tail) >> (jnp.uint32(32) - i.astype(jnp.uint32))) & jnp.uint32(1)
+        # bit (31 - i), MSB-first, via scalar shift of the constant —
+        # no (32,) array constant, so this traces inside Pallas kernels
+        bit = (jnp.uint32(tail) >> (jnp.uint32(31) - i.astype(jnp.uint32))) & jnp.uint32(1)
         return select(
             jnp.broadcast_to(bit == 1, (1, v.shape[1])), mul_mod(v, x1), v
         )
 
-    return jax.lax.fori_loop(0, 33, body, t)
+    return jax.lax.fori_loop(0, 32, body, t)
 
 
 # ---------------------------------------------------------------------------

@@ -47,10 +47,13 @@ def save_baby_table(table: tbl.BabyTable, path: str) -> None:
             os.unlink(tmp)
 
 
-def load_baby_table(path: str, spot_checks: int = 8) -> tbl.BabyTable:
+def load_baby_table(path: str, spot_checks: int = 8,
+                    window: int = 0) -> tbl.BabyTable:
     """Load + random-oracle verify (reference checkHTpackFile,
     1_9_7File.pb:3101-3134): random r in [1, w], recompute r*G exactly,
-    require the stored prefix to match."""
+    require the stored prefix to match. ``window`` is the caller's
+    requested minimum row width (the dense matrix re-derives on load, so a
+    cache hit must still honor a larger request)."""
     import jax.numpy as jnp
     from . import native
 
@@ -58,7 +61,7 @@ def load_baby_table(path: str, spot_checks: int = 8) -> tbl.BabyTable:
     htsz = int(z["htsz"])
     sorted_pre = z["sorted_pre"]
     offsets, disc, maxb = native.csr_pack(sorted_pre, htsz)
-    window = tbl.fit_window(maxb, int(z["window"]))
+    window = tbl.fit_window(maxb, max(window, int(z["window"])))
     table = tbl.BabyTable(
         w=int(z["w"]),
         htsz=htsz,
@@ -89,7 +92,7 @@ def get_baby_table(
         return tbl.build_baby_table(w, htsz, window=window, tile=tile)
     path = baby_table_path(cache_dir, w, htsz, window)
     if os.path.exists(path):
-        return load_baby_table(path)
+        return load_baby_table(path, window=window)
     table = tbl.build_baby_table(w, htsz, window=window, tile=tile)
     save_baby_table(table, path)
     return table
