@@ -29,6 +29,13 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "fast: sub-second tier (pytest -m fast) for every-iteration runs",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)

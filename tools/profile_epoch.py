@@ -1,187 +1,161 @@
-"""Per-stage timing of one fused giant-step epoch on the real chip.
+"""Per-stage timing of one fused epoch on the real chip.
 
-Breaks run_epoch_fused into its stages and times each in steady state
-(block_until_ready between reps), so optimization follows evidence rather
-than guesswork (VERDICT round 1, next-round item 1). Run on the TPU:
-
-    python tools/profile_epoch.py [w_bits] [n_offsets_log2] [jobs]
-
-Writes a human summary to stdout; pass --trace to also dump a
-jax.profiler trace directory for xprof.
+Breaks the epoch into its pipeline stages and times each with
+block_until_ready so the round-2 perf work attacks evidence, not guesses:
+  1. epoch_landing_keys total (fwd kernel + batch inversion + bwd kernel)
+  1a/1b/1c. the three sub-stages individually
+  2. probe (dense row gather + compare) for +, -, center streams
+  3. mask concat + count + compaction (_mask_to_hits)
+  4. epoch_centers (per-epoch center fill)
+  5. full fused epoch end-to-end (giant.run_epoch_fused)
 """
 
-import argparse
-import functools
 import os
-import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
-import numpy as np
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+from bsgs_tpu.models import solver as smod, giant, table as T
+from bsgs_tpu.ops import epoch_kernel as EK, field as F
+from bsgs_tpu.utils import artifacts, ecpy
+
+W_BITS = int(os.environ.get("BENCH_W_BITS", "26"))
+N_OFFSETS = int(os.environ.get("BENCH_N_OFFSETS", str(1 << 18)))
+JOBS = int(os.environ.get("BENCH_JOBS", "4"))
+REPS = int(os.environ.get("PROF_REPS", "5"))
 
 
-def timed(fn, *args, reps=10, warmup=2, **kw):
-    for _ in range(warmup):
-        r = fn(*args, **kw)
-        jax.block_until_ready(r)
+def timeit(name, fn, *args, reps=REPS, **kw):
+    out = fn(*args, **kw)  # compile
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(reps):
-        r = fn(*args, **kw)
-        jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / reps, r
+        out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{name:44s} {dt*1e3:9.2f} ms")
+    return out, dt
 
 
 def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("w_bits", nargs="?", type=int, default=26)
-    ap.add_argument("n_log2", nargs="?", type=int, default=18)
-    ap.add_argument("jobs", nargs="?", type=int, default=4)
-    ap.add_argument("--trace", action="store_true")
-    ap.add_argument("--reps", type=int, default=10)
-    args = ap.parse_args()
-
-    from bsgs_tpu.models import solver as smod, giant, table as T
-    from bsgs_tpu.ops import epoch_kernel as EK, field as F
-    from bsgs_tpu.utils import artifacts, ecpy
-
-    w = 1 << args.w_bits
-    htsz = max(4, args.w_bits - 2)
-    n = 1 << args.n_log2
-    jobs = args.jobs
+    w = 1 << W_BITS
+    htsz = max(4, W_BITS - 2)
     cfg = smod.SolverConfig(
-        w=w, htsz=htsz, n_offsets=n, jobs_per_epoch=jobs,
+        w=w, htsz=htsz, n_offsets=N_OFFSETS, jobs_per_epoch=JOBS,
         window=16, table_tile=1 << 18,
     )
-    print(f"device={jax.devices()[0].device_kind} backend={jax.default_backend()}")
-    print(f"w=2^{args.w_bits} htsz={htsz} N=2^{args.n_log2} T={jobs} "
-          f"pairs/epoch={jobs*n} steps/epoch={(2*n+1)*jobs}")
-
     t0 = time.time()
     baby = artifacts.get_baby_table(
         w, htsz, window=16,
         cache_dir=os.environ.get("BENCH_CACHE", "/root/repo/.bench_cache"),
-        tile=cfg.table_tile)
-    print(f"table: {time.time()-t0:.1f}s (window={baby.window})")
+        tile=cfg.table_tile,
+    )
+    print(f"table ready in {time.time()-t0:.1f}s  window={baby.window}")
     s = smod.Solver(cfg, baby=baby)
-    assert s.fused, "fused path not engaged"
+    print("fused:", s.fused, "backend:", jax.default_backend())
 
     pub = ecpy.mul((1 << 200) + 12345)
     q0 = ecpy.sub(pub, ecpy.mul(1 << 40))
+    cx, cy, cinf = s.epoch_centers(q0, 0, cfg.jobs_per_epoch)
+    jax.block_until_ready((cx, cy, cinf))
 
-    # --- stage 0: center generation (host EC + fill) -----------------------
-    t_host0 = time.perf_counter()
-    for rep in range(5):
-        cx, cy, cinf = s.epoch_centers(q0, rep, jobs)
-        jax.block_until_ready(cx)
-    t_centers = (time.perf_counter() - t_host0) / 5
+    tn = cfg.jobs_per_epoch * cfg.n_offsets
+    gs_per_epoch = (2 * cfg.n_offsets + 1) * cfg.jobs_per_epoch
+
+    # --- stage 4: center generation
+    timeit("epoch_centers", lambda: s.epoch_centers(q0, 0, JOBS))
+
+    # --- stage 1: landing keys (fused kernels + inversion)
     cxp = jnp.swapaxes(cx, 0, 1)
     cyp = jnp.swapaxes(cy, 0, 1)
+    keys, t_keys = timeit(
+        "epoch_landing_keys (fwd+inv+bwd)",
+        EK.epoch_landing_keys, cxp, cyp, s.ox_pl, s.oy_pl, htsz=htsz,
+    )
 
-    C, W = cfg.chunk_c, cfg.lanes_w
-    nb = n // (C * W)
-    nl = F.NLIMBS
-
-    # --- full fused epoch ---------------------------------------------------
-    full = functools.partial(
-        giant.run_epoch_fused, htsz=htsz, chunk_c=C, lanes_w=W,
-        hit_cap=cfg.hit_cap, interpret=False)
-    t_full, _ = timed(full, cx, cy, cinf, s.ox_pl, s.oy_pl, baby.dense,
-                      reps=args.reps)
-
-    # --- epoch_landing_keys (fwd + inv + bwd) -------------------------------
-    elk = functools.partial(EK.epoch_landing_keys, htsz=htsz, chunk_c=C,
-                            lanes_w=W, interpret=False)
-    t_keys, keys = timed(elk, cxp, cyp, s.ox_pl, s.oy_pl, reps=args.reps)
-
-    # --- fwd kernel alone ---------------------------------------------------
+    # sub-stages — replicate the internals
+    import functools
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
-
+    nl = F.NLIMBS
+    C, W_l = cfg.chunk_c, cfg.lanes_w
+    n = N_OFFSETS
+    nb = n // (C * W_l)
+    t_jobs = JOBS
+    grid = (t_jobs, nb)
     cx_wide = jnp.repeat(cxp, 128, axis=1)
     cy_wide = jnp.repeat(cyp, 128, axis=1)
-    ox_spec = pl.BlockSpec((nl, C * W), lambda t, jb: (0, jb),
+    ox_spec = pl.BlockSpec((nl, C * W_l), lambda t, jb: (0, jb),
                            memory_space=pltpu.VMEM)
     c_spec = pl.BlockSpec((nl, 128), lambda t, jb: (0, t),
                           memory_space=pltpu.VMEM)
-    pre_spec = pl.BlockSpec((nl, C * W), lambda t, jb: (0, t * nb + jb),
+    pre_spec = pl.BlockSpec((nl, C * W_l), lambda t, jb: (0, t * nb + jb),
                             memory_space=pltpu.VMEM)
-    tot_spec = pl.BlockSpec((nl, W), lambda t, jb: (0, t * nb + jb),
+    tot_spec = pl.BlockSpec((nl, W_l), lambda t, jb: (0, t * nb + jb),
                             memory_space=pltpu.VMEM)
+
     fwd = jax.jit(lambda ox, cxw: pl.pallas_call(
-        functools.partial(EK._fwd_kernel, C=C, W=W),
-        grid=(jobs, nb),
-        in_specs=[ox_spec, c_spec],
+        functools.partial(EK._fwd_kernel, C=C, W=W_l),
+        grid=grid, in_specs=[ox_spec, c_spec],
         out_specs=[pre_spec, tot_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((nl, jobs * n), jnp.uint32),
-            jax.ShapeDtypeStruct((nl, jobs * nb * W), jnp.uint32),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((nl, t_jobs * n), jnp.uint32),
+                   jax.ShapeDtypeStruct((nl, t_jobs * nb * W_l), jnp.uint32)],
     )(ox, cxw))
-    t_fwd, (pre, tot) = timed(fwd, s.ox_pl, cx_wide, reps=args.reps)
+    (pre, tot), t_fwd = timeit("  fwd kernel", fwd, s.ox_pl, cx_wide)
 
-    # --- batch inversion of totals ------------------------------------------
-    inv = jax.jit(functools.partial(EK.batch_inv_planar, chunk_c=C, lanes_w=W))
-    t_inv, itot = timed(inv, tot, reps=args.reps)
+    inv = jax.jit(lambda t: EK.batch_inv_planar(t, chunk_c=C, lanes_w=W_l))
+    itot, t_inv = timeit("  batch_inv_planar(tot)", inv, tot)
 
-    # --- bwd kernel alone ---------------------------------------------------
-    out_spec = pl.BlockSpec((8, C * W), lambda t, jb: (0, t * nb + jb),
+    out_spec = pl.BlockSpec((8, C * W_l), lambda t, jb: (0, t * nb + jb),
                             memory_space=pltpu.VMEM)
     bwd = jax.jit(lambda ox, oy, cxw, cyw, pre, itot: pl.pallas_call(
-        functools.partial(EK._bwd_kernel, C=C, W=W, htsz=htsz),
-        grid=(jobs, nb),
+        functools.partial(EK._bwd_kernel, C=C, W=W_l, htsz=htsz),
+        grid=grid,
         in_specs=[ox_spec, ox_spec, c_spec, c_spec, pre_spec, tot_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((8, jobs * n), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((8, t_jobs * n), jnp.uint32),
     )(ox, oy, cxw, cyw, pre, itot))
-    t_bwd, out = timed(bwd, s.ox_pl, s.oy_pl, cx_wide, cy_wide, pre, itot,
-                       reps=args.reps)
+    _, t_bwd = timeit("  bwd kernel", bwd, s.ox_pl, s.oy_pl, cx_wide,
+                      cy_wide, pre, itot)
 
-    # --- probe: two dense row gathers ----------------------------------------
-    probe2 = jax.jit(lambda k, d: (T.probe_keys(k[0], k[1], d),
-                                   T.probe_keys(k[2], k[3], d)))
-    t_probe, _ = timed(probe2, keys, baby.dense, reps=args.reps)
+    # --- stage 2: probes
+    pk1 = jax.jit(T.probe_keys)
+    _, t_p1 = timeit("probe_keys(+)", pk1, keys[0], keys[1], baby.dense)
+    _, t_p2 = timeit("probe_keys(-)", pk1, keys[2], keys[3], baby.dense)
 
-    # --- mask + compaction ----------------------------------------------------
-    def tail(keys, fp, fm, cinf, cx):
-        exact = keys[4] != 0
-        hc_hi, hc_lo = F.x_prefix64(cx)
-        found_c = T.probe(hc_hi, hc_lo, baby.dense, htsz=htsz)
-        mask = jnp.concatenate(
-            [fp & ~exact, fm & ~exact, exact, found_c | cinf])
+    # --- stage 3: mask + compaction
+    found_p = pk1(keys[0], keys[1], baby.dense)
+    found_m = pk1(keys[2], keys[3], baby.dense)
+    exact = keys[4] != 0
+    hc_hi, hc_lo = F.x_prefix64(cx)
+    found_c = T.probe(hc_hi, hc_lo, baby.dense, htsz=htsz)
+
+    def mask_stage(found_p, found_m, exact, found_c, cinf):
+        mask = jnp.concatenate([
+            found_p & ~exact, found_m & ~exact, exact, found_c | cinf])
         return giant._mask_to_hits(mask, cfg.hit_cap)
-    fp, fm = probe2(keys, baby.dense)
-    t_tail, _ = timed(jax.jit(tail), keys, fp, fm, cinf, cx, reps=args.reps)
 
-    steps = (2 * n + 1) * jobs
-    print(f"\n--- per-epoch stage times ({args.reps} reps) ---")
-    rows = [
-        ("epoch_centers (host EC + fill)", t_centers),
-        ("fwd kernel", t_fwd),
-        ("batch_inv (totals)", t_inv),
-        ("bwd kernel", t_bwd),
-        ("probe gathers (2x)", t_probe),
-        ("mask+compaction tail", t_tail),
-        ("sum of stages", t_fwd + t_inv + t_bwd + t_probe + t_tail),
-        ("epoch_landing_keys (fwd+inv+bwd)", t_keys),
-        ("run_epoch_fused (full)", t_full),
-    ]
-    for name, t in rows:
-        print(f"{name:36s} {t*1e3:9.2f} ms  {steps/t/1e6:9.1f} Msteps/s")
-    print(f"\nfull-epoch rate: {steps / t_full / 1e6:.1f} Msteps/s "
-          f"(VERDICT r1: 16.75; target >= 100)")
+    _, t_mask = timeit("mask+compaction", jax.jit(mask_stage),
+                       found_p, found_m, exact, found_c, cinf)
 
-    if args.trace:
-        d = "/tmp/bsgs_trace"
-        with jax.profiler.trace(d):
-            r = full(cx, cy, cinf, s.ox_pl, s.oy_pl, baby.dense)
-            jax.block_until_ready(r)
-        print(f"trace written to {d}")
+    # --- stage 5: whole fused epoch
+    def whole():
+        return giant.run_epoch_fused(
+            cx, cy, cinf, s.ox_pl, s.oy_pl, baby.dense,
+            htsz=htsz, hit_cap=cfg.hit_cap)
+
+    _, t_all = timeit("run_epoch_fused (end-to-end)", whole)
+
+    print()
+    print(f"giant steps/epoch: {gs_per_epoch:,}  pairs: {tn:,}")
+    print(f"end-to-end rate: {gs_per_epoch/t_all/1e6:.1f} M steps/s")
+    acc = t_fwd + t_inv + t_bwd + t_p1 + t_p2 + t_mask
+    print(f"sum of stages: {acc*1e3:.2f} ms vs end-to-end {t_all*1e3:.2f} ms")
 
 
 if __name__ == "__main__":
