@@ -243,8 +243,35 @@ def mul_mod(a, b):
     return reduce_512(_mul_cols(a, b))
 
 
+def _sqr_cols(a):
+    """(16, W) squared -> (32, W) uint32 product columns.
+
+    Triangle form of the schoolbook (the planar analog of the reference's
+    dedicated m_squareModX64, lib/Curve64.pb:2161): off-diagonal pairs are
+    multiplied once and doubled, the diagonal lands via a sublane
+    interleave — 136 row-multiplies instead of _mul_cols' 256.
+
+    Column bound: off-diagonal <= 16 lo/hi terms < 2^16 per column, doubled
+    -> < 2^21; diagonal adds <= 2 more terms -> total < 2^21 + 2^17, within
+    reduce_512's headroom (its first fold multiplies hi columns by 977 in
+    uint32: (2^21 + 2^17) * 977 < 2^32).
+    """
+    W = a.shape[1:]
+    total = 2 * NLIMBS
+    off = jnp.zeros((total,) + W, _U32)
+    for i in range(NLIMBS - 1):
+        prod = a[i : i + 1] * a[i + 1 :]  # rows j=i+1..15 -> cols 2i+1+k
+        off = off + _embed(prod & _U32(LIMB_MASK), 2 * i + 1, total)
+        off = off + _embed(prod >> _U32(LIMB_BITS), 2 * i + 2, total)
+    d = a * a
+    diag = jnp.stack(
+        [d & _U32(LIMB_MASK), d >> _U32(LIMB_BITS)], axis=1
+    ).reshape((total,) + W)
+    return off + off + diag
+
+
 def sqr_mod(a):
-    return mul_mod(a, a)
+    return reduce_512(_sqr_cols(a))
 
 
 # ---------------------------------------------------------------------------
