@@ -40,11 +40,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--w", default="20", help="baby table size: exponent "
                    "(<=64, fractional ok) or decimal count")
     p.add_argument("--htsz", type=int, default=None,
-                   help="hash bucket bits (default: log2(w)-2)")
+                   help="hash bucket bits (default: auto for the window)")
     p.add_argument("--n-offsets", type=int, default=None,
                    help="giant offsets per job (default: tuned)")
-    p.add_argument("--jobs-per-epoch", type=int, default=16)
-    p.add_argument("--window", type=int, default=16)
+    p.add_argument("--jobs-per-epoch", type=int, default=8)
+    p.add_argument("--window", type=int, default=None,
+                   help="dense bucket row width (default: 128, one lane "
+                   "tile — the TPU hot layout)")
+    p.add_argument("--n-split", type=int, default=8,
+                   help="independent probe gather streams per epoch")
+    p.add_argument("--pipeline", type=int, default=3,
+                   help="epochs in flight before a host sync")
     p.add_argument("--devices", type=int, default=None,
                    help="number of chips to use (default: all)")
     p.add_argument("--shard-table", action="store_true",
@@ -83,14 +89,17 @@ def main(argv=None) -> int:
         )
         return 0
 
+    from .models import table as tbl
+
     if args.gen_only:
         w = codecs.parse_w(args.w)
-        htsz = args.htsz if args.htsz is not None else max(4, w.bit_length() - 3)
+        window = args.window or tbl.DEVICE_WINDOW
+        htsz = args.htsz if args.htsz is not None else tbl.pick_htsz(w, window)
         if not args.quiet:
             print(f"generating artifacts: w={w} htsz={htsz} "
                   f"-> {args.cache_dir}")
         artifacts.get_baby_table(
-            w, htsz, window=args.window, cache_dir=args.cache_dir
+            w, htsz, window=window, cache_dir=args.cache_dir
         )
         print("finished ok")
         return 0
@@ -109,24 +118,34 @@ def main(argv=None) -> int:
         return 2
 
     w = codecs.parse_w(args.w)
-    htsz = args.htsz if args.htsz is not None else max(4, w.bit_length() - 3)
+    window = args.window or tbl.DEVICE_WINDOW
+    htsz = args.htsz if args.htsz is not None else tbl.pick_htsz(w, window)
     n_offsets = args.n_offsets or min(1 << 18, max(256, w // 4))
+    n_devices = args.devices or 0
 
     cfg = smod.SolverConfig(
         w=w, htsz=htsz, n_offsets=n_offsets,
-        jobs_per_epoch=args.jobs_per_epoch, window=args.window,
+        jobs_per_epoch=args.jobs_per_epoch, window=window,
+        n_split=args.n_split, pipeline=args.pipeline,
     )
     fingerprint = ckpt.config_fingerprint(
         w=w, htsz=htsz, n_offsets=n_offsets, pk=pk, pke=pke,
         jobs_per_epoch=args.jobs_per_epoch,
+        devices=n_devices, shard_table=bool(args.shard_table),
     )
 
-    pubs = []
-    if args.pub:
-        pubs.append(args.pub)
-    if args.infile:
-        with open(args.infile) as f:
-            pubs.extend(line for line in (l.strip() for l in f) if line)
+    def iter_pubs():
+        """Lazy pubkey stream: CLI pubkey first, then --infile one line at
+        a time (the reference's readNextPubFile, 1_9_7File.pb:4370 — the
+        file is never loaded whole)."""
+        if args.pub:
+            yield args.pub
+        if args.infile:
+            with open(args.infile) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        yield line
 
     start_index, start_epoch = 0, 0
     if args.resume:
@@ -145,26 +164,34 @@ def main(argv=None) -> int:
 
     if not args.quiet:
         print(f"building baby table: w={w} htsz={htsz} ...")
-    baby = artifacts.get_baby_table(
-        w, htsz, window=args.window, cache_dir=args.cache_dir
-    )
+    import jax
+
+    if jax.default_backend() == "tpu":
+        # on-device pack: regeneration beats any transfer on TPU
+        baby = smod.build_table(cfg)
+    else:
+        baby = artifacts.get_baby_table(
+            w, htsz, window=window, cache_dir=args.cache_dir
+        )
     s = smod.Solver(cfg, baby=baby)
 
-    mesh_solver = None
-    if (args.devices or 0) > 1 or args.shard_table:
+    if n_devices > 1 or args.shard_table:
         from .parallel import mesh as pmesh, striped
         m = pmesh.make_mesh(args.devices)
-        mesh_solver = striped.MeshSolver(
-            s, m, shard_baby_table=args.shard_table
-        )
+        # MeshSolver shares Solver's loop: resume/checkpoint/progress all
+        # work identically on the mesh path
+        s = striped.MeshSolver(s, m, shard_baby_table=args.shard_table)
 
     writer = ckpt.CheckpointWriter(
         args.checkpoint_file, fingerprint, args.checkpoint_interval
     )
     found = 0
+    seen = 0
     t_start = time.time()
-    for idx in range(start_index, len(pubs)):
-        pub_hex = pubs[idx]
+    for idx, pub_hex in enumerate(iter_pubs()):
+        if idx < start_index:
+            continue
+        seen += 1
         try:
             pub = codecs.parse_pubkey(pub_hex)
         except codecs.PubkeyError as e:
@@ -188,20 +215,17 @@ def main(argv=None) -> int:
             )
 
         if not args.quiet:
-            rate_note = f" [{idx + 1}/{len(pubs)}]" if len(pubs) > 1 else ""
+            rate_note = f" [#{idx + 1}]" if args.infile else ""
             print(f"searching{rate_note} {pub_hex[:24]}... "
                   f"range [{pk:#x}, {pke:#x}]")
-        if mesh_solver is not None:
-            res = mesh_solver.solve(pub, pk, pke)
-        else:
-            res = s.solve(
-                pub, pk, pke,
-                start_epoch=start_epoch if idx == start_index else 0,
-                on_epoch=on_epoch,
-                progress=progress,
-            )
-            if not args.quiet:
-                print()
+        res = s.solve(
+            pub, pk, pke,
+            start_epoch=start_epoch if idx == start_index else 0,
+            on_epoch=on_epoch,
+            progress=progress,
+        )
+        if not args.quiet:
+            print()
         if res.key is not None:
             found += 1
             line = f"{res.key:064x} {codecs.format_pubkey(pub)}"
@@ -214,7 +238,7 @@ def main(argv=None) -> int:
         writer.maybe_write(idx + 1, "", 0, 0, force=True)
     if not args.quiet:
         dt = time.time() - t_start
-        print(f"done: {found}/{len(pubs) - start_index} keys in {dt:.1f}s")
+        print(f"done: {found}/{seen} keys in {dt:.1f}s")
     return 0
 
 

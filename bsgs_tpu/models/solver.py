@@ -149,6 +149,12 @@ class Solver:
             return cx, cy, cinf
         return ec.fill_multiples(m0, self.center_step, n_jobs, with_inf=True)
 
+    def _total_epochs(self, pk: int, pke: int) -> int:
+        cfg = self.cfg
+        m_max = (pke - pk) // cfg.stride + 1
+        total_jobs = (m_max + cfg.jobs_span) // cfg.jobs_span + 1
+        return -(-total_jobs // cfg.jobs_per_epoch)
+
     # -- epoch dispatch ------------------------------------------------------
     def _dispatch(self, q0, epoch: int):
         """Launch one epoch on the device; returns (first_job, idxs, cnt,
@@ -231,11 +237,7 @@ class Solver:
         if ecpy.mul(pk) == pub:
             return SolveResult(pk, 0, 0.0, 0, 0)
         q0 = ecpy.sub(pub, ecpy.mul(pk))
-
-        r = pke - pk
-        m_max = r // cfg.stride + 1
-        total_jobs = (m_max + cfg.jobs_span) // cfg.jobs_span + 1
-        total_epochs = -(-total_jobs // cfg.jobs_per_epoch)
+        total_epochs = self._total_epochs(pk, pke)
 
         steps = 0
         hits_checked = 0

@@ -6,14 +6,14 @@ epoch of n_chips * T jobs is laid out as a sharded centers array, each chip
 scans its own T jobs, and the fixed-capacity hit buffers come back stacked.
 Works with a replicated baby table (reference parity) or a bucket-sharded
 one (new capability; see sharded_table.py).
+
+MeshSolver subclasses models.solver.Solver and overrides only the epoch
+dispatch/drain, so the pipelined scan loop, checkpoint hooks, progress
+reporting, and resume semantics are IDENTICAL to the single-chip path
+(round-2 review item: the mesh path must not be a feature-stripped fork).
 """
 
 from __future__ import annotations
-
-import dataclasses
-import time
-from functools import partial
-from typing import Optional
 
 import numpy as np
 import jax
@@ -26,8 +26,6 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
 from ..models import checker, giant, solver as ssolver
-from ..utils import ecpy
-from ..ops import ec
 from .mesh import CHIPS_AXIS
 from . import sharded_table as st
 
@@ -73,93 +71,92 @@ def _epoch_fn_sharded_table(mesh: Mesh, spec: st.ShardedTableSpec, *,
     )
 
 
-@dataclasses.dataclass
-class MeshSolver:
-    """Drives a models.solver.Solver over a device mesh.
+class MeshSolver(ssolver.Solver):
+    """Drives the scan over a device mesh; one "epoch" of the shared solve
+    loop is a SUPER-epoch of n_chips * jobs_per_epoch jobs.
 
-    shard_baby_table=True splits the CSR table by bucket range across chips
-    (each holds 1/n of the entries) with collective probe routing.
+    shard_baby_table=True splits the dense table by bucket range across
+    chips (each holds 1/n of the rows) with collective probe routing
+    (sharded_table.py) — capability beyond the reference, which replicates
+    the whole table per GPU (1_9_7File.pb:2350-2353).
     """
 
-    base: ssolver.Solver
-    mesh: Mesh
-    shard_baby_table: bool = False
-
-    def __post_init__(self):
-        cfg = self.base.cfg
-        self.n_chips = self.mesh.devices.size
+    def __init__(self, base: ssolver.Solver, mesh: Mesh,
+                 shard_baby_table: bool = False):
+        # adopt the base solver's state instead of rebuilding tables
+        self.cfg = base.cfg
+        self.baby = base.baby
+        self.ox, self.oy = base.ox, base.oy
+        self.center_step = base.center_step
+        self.fused = False  # mesh path uses the shard_map XLA epoch body
+        self._interpret = base._interpret
+        self.base = base
+        self.mesh = mesh
+        self.shard_baby_table = shard_baby_table
+        self.n_chips = mesh.devices.size
+        cfg = self.cfg
         kw = dict(chunk=cfg.chunk, hit_cap=cfg.hit_cap)
-        if self.shard_baby_table:
-            spec = st.shard_table(self.base.baby, self.n_chips)
+        self._sharding = NamedSharding(mesh, P(CHIPS_AXIS))
+        if shard_baby_table:
+            spec = st.shard_table(self.baby, self.n_chips)
             self._spec = spec
-            sh = NamedSharding(self.mesh, P(CHIPS_AXIS))
-            self._dense_sh = jax.device_put(spec.dense, sh)
-            self._epoch = _epoch_fn_sharded_table(self.mesh, spec, **kw)
+            self._dense_sh = jax.device_put(spec.dense, self._sharding)
+            self._epoch = _epoch_fn_sharded_table(mesh, spec, **kw)
         else:
-            self._epoch = _epoch_fn_replicated(self.mesh, htsz=cfg.htsz, **kw)
+            self._epoch = _epoch_fn_replicated(mesh, htsz=cfg.htsz, **kw)
 
-    def _run_epoch(self, q0, first_job: int):
-        cfg = self.base.cfg
-        t_local = cfg.jobs_per_epoch
-        t_global = t_local * self.n_chips
-        cx, cy, cinf = self.base.epoch_centers(q0, first_job, t_global)
-        sh = NamedSharding(self.mesh, P(CHIPS_AXIS))
+    # -- epoch overrides -----------------------------------------------------
+    @property
+    def _jobs_per_super(self) -> int:
+        return self.cfg.jobs_per_epoch * self.n_chips
+
+    def _dispatch(self, q0, epoch: int):
+        cfg = self.cfg
+        first_job = epoch * self._jobs_per_super
+        cx, cy, cinf = self.epoch_centers(q0, first_job, self._jobs_per_super)
+        sh = self._sharding
         cx, cy, cinf = (jax.device_put(a, sh) for a in (cx, cy, cinf))
         if self.shard_baby_table:
-            buf, cnt = self._epoch(
-                cx, cy, cinf, self.base.ox, self.base.oy, self._dense_sh,
-            )
+            buf, cnt = self._epoch(cx, cy, cinf, self.ox, self.oy,
+                                   self._dense_sh)
         else:
-            buf, cnt = self._epoch(
-                cx, cy, cinf, self.base.ox, self.base.oy,
-                self.base.baby.dense,
-            )
-        return np.asarray(buf), np.asarray(cnt)
+            buf, cnt = self._epoch(cx, cy, cinf, self.ox, self.oy,
+                                   self.baby.dense)
+        gs = (2 * cfg.n_offsets + 1) * self._jobs_per_super
+        return first_job, buf, cnt, gs
 
-    def solve(self, pub, pk: int, pke: int,
-              max_epochs: Optional[int] = None) -> ssolver.SolveResult:
-        cfg = self.base.cfg
-        if ecpy.mul(pk) == pub:
-            return ssolver.SolveResult(pk, 0, 0.0, 0, 0)
-        q0 = ecpy.sub(pub, ecpy.mul(pk))
-        r = pke - pk
-        m_max = r // cfg.stride + 1
-        total_jobs = (m_max + cfg.jobs_span) // cfg.jobs_span + 1
-        jobs_per_super = cfg.jobs_per_epoch * self.n_chips
-        total_super = -(-total_jobs // jobs_per_super)
-
-        steps = 0
+    def _drain(self, pub, pk: int, pke: int, rec):
+        cfg = self.cfg
+        first_job, buf, cnt, gs = rec
+        cnt = np.asarray(cnt)
+        buf = np.asarray(buf).reshape(self.n_chips, cfg.hit_cap)
         hits_checked = 0
-        t0 = time.time()
-        for e in range(total_super):
-            if max_epochs is not None and e >= max_epochs:
-                break
-            first_job = e * jobs_per_super
-            buf, cnt = self._run_epoch(q0, first_job)
-            n = cfg.n_offsets
-            steps += (2 * n + 1) * jobs_per_super
-            buf = buf.reshape(self.n_chips, cfg.hit_cap)
-            for chip in range(self.n_chips):
-                c = int(cnt[chip])
-                if c == 0:
-                    continue
-                if c > cfg.hit_cap:
-                    raise RuntimeError("hit buffer overflow")
-                ctx = checker.HitContext(
-                    q=pub, pk=pk, s=cfg.stride, n=n,
-                    job_base=first_job + chip * cfg.jobs_per_epoch,
+        for chip in range(self.n_chips):
+            c = int(cnt[chip])
+            if c == 0:
+                continue
+            if c > cfg.hit_cap:
+                raise RuntimeError(
+                    f"hit buffer overflow ({c}); table too collision-heavy"
                 )
-                recs = buf[chip]
-                recs = recs[recs != giant.FILL]
-                for flat in recs:
-                    hits_checked += 1
-                    code, t, j = giant.decode_flat(
-                        int(flat), cfg.jobs_per_epoch, n
-                    )
-                    k = checker.verify_hit(ctx, self.base.baby, code, t, j)
-                    if k is not None and pk <= k <= pke:
-                        return ssolver.SolveResult(
-                            k, steps, time.time() - t0, e + 1, hits_checked
-                        )
-        return ssolver.SolveResult(None, steps, time.time() - t0,
-                                   total_super, hits_checked)
+            ctx = checker.HitContext(
+                q=pub, pk=pk, s=cfg.stride, n=cfg.n_offsets,
+                job_base=first_job + chip * cfg.jobs_per_epoch,
+            )
+            recs = buf[chip]
+            recs = recs[recs != giant.FILL]
+            for flat in recs:
+                hits_checked += 1
+                code, t, j = giant.decode_flat(
+                    int(flat), cfg.jobs_per_epoch, cfg.n_offsets
+                )
+                k = checker.verify_hit(ctx, self.baby, code, t, j)
+                if k is not None and pk <= k <= pke:
+                    return k, gs, hits_checked
+        return None, gs, hits_checked
+
+    def _total_epochs(self, pk: int, pke: int) -> int:
+        cfg = self.cfg
+        m_max = (pke - pk) // cfg.stride + 1
+        total_jobs = (m_max + cfg.jobs_span) // cfg.jobs_span + 1
+        return -(-total_jobs // self._jobs_per_super)

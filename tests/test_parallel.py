@@ -92,3 +92,32 @@ def test_mesh_exhausts(base_solver):
     pub = ecpy.mul(pk + (1 << 30))
     res = ms.solve(pub, pk, pk + (1 << 16))
     assert res.key is None
+
+
+def test_mesh_checkpoint_resume(base_solver, tmp_path):
+    """Kill a mesh solve mid-range, resume from the checkpoint, find the
+    planted key (round-3 item: reference min-counter semantics,
+    1_9_7File.pb:3897-3931, on the mesh path)."""
+    from bsgs_tpu.utils import checkpoint as ckpt
+
+    mesh = pmesh.make_mesh(8)
+    ms = striped.MeshSolver(base_solver, mesh)
+    pk = 1 << 21
+    span = ms.cfg.jobs_span * ms._jobs_per_super * ms.cfg.stride
+    k = pk + 3 * span + 123  # planted in the 4th super-epoch
+    pub = ecpy.mul(k)
+
+    path = str(tmp_path / "currentwork.json")
+    writer = ckpt.CheckpointWriter(path, "fp", interval_s=0.0)
+
+    def on_epoch(e, steps):
+        writer.maybe_write(0, "pub", e + 1, steps)
+
+    # simulate a crash: scan only 2 super-epochs, checkpointing each
+    res = ms.solve(pub, pk, pk + 8 * span, max_epochs=2, on_epoch=on_epoch)
+    assert res.key is None
+    ck = ckpt.Checkpoint.load(path, "fp")
+    assert ck.next_epoch >= 1
+
+    res = ms.solve(pub, pk, pk + 8 * span, start_epoch=ck.next_epoch)
+    assert res.key == k

@@ -44,18 +44,16 @@ def timeit(name, fn, *args, reps=REPS, **kw):
 
 def main():
     w = 1 << W_BITS
-    htsz = max(4, W_BITS - 2)
     cfg = smod.SolverConfig(
-        w=w, htsz=htsz, n_offsets=N_OFFSETS, jobs_per_epoch=JOBS,
-        window=16, table_tile=1 << 18,
+        w=w, n_offsets=N_OFFSETS, jobs_per_epoch=JOBS,
+        table_tile=1 << 18,
     )
+    htsz = cfg.htsz
     t0 = time.time()
-    baby = artifacts.get_baby_table(
-        w, htsz, window=16,
-        cache_dir=os.environ.get("BENCH_CACHE", "/root/repo/.bench_cache"),
-        tile=cfg.table_tile,
-    )
-    print(f"table ready in {time.time()-t0:.1f}s  window={baby.window}")
+    baby = smod.build_table(cfg)
+    jax.block_until_ready(baby.dense)
+    print(f"table ready in {time.time()-t0:.1f}s  htsz={htsz} "
+          f"window={baby.window}")
     s = smod.Solver(cfg, baby=baby)
     print("fused:", s.fused, "backend:", jax.default_backend())
 
@@ -127,6 +125,18 @@ def main():
     pk1 = jax.jit(T.probe_keys)
     _, t_p1 = timeit("probe_keys(+)", pk1, keys[0], keys[1], baby.dense)
     _, t_p2 = timeit("probe_keys(-)", pk1, keys[2], keys[3], baby.dense)
+    ns = cfg.n_split
+    pks = jax.jit(lambda b, d, t: T.probe_keys_split(b, d, t, n_split=ns))
+    _, t_ps = timeit(f"probe_keys_split(+) n_split={ns}", pks,
+                     keys[0], keys[1], baby.dense)
+
+    def both_split(k0, k1, k2, k3, t):
+        return (T.probe_keys_split(k0, k1, t, n_split=ns),
+                T.probe_keys_split(k2, k3, t, n_split=ns))
+
+    _, t_pb = timeit(f"both streams split n_split={ns} (one jit)",
+                     jax.jit(both_split), keys[0], keys[1], keys[2],
+                     keys[3], baby.dense)
 
     # --- stage 3: mask + compaction
     found_p = pk1(keys[0], keys[1], baby.dense)
@@ -149,13 +159,21 @@ def main():
             cx, cy, cinf, s.ox_pl, s.oy_pl, baby.dense,
             htsz=htsz, hit_cap=cfg.hit_cap)
 
+    def whole_split():
+        return giant.run_epoch_fused(
+            cx, cy, cinf, s.ox_pl, s.oy_pl, baby.dense,
+            htsz=htsz, hit_cap=cfg.hit_cap, n_split=cfg.n_split)
+
     _, t_all = timeit("run_epoch_fused (end-to-end)", whole)
+    _, t_all2 = timeit("run_epoch_fused (split probes)", whole_split)
 
     print()
     print(f"giant steps/epoch: {gs_per_epoch:,}  pairs: {tn:,}")
     print(f"end-to-end rate: {gs_per_epoch/t_all/1e6:.1f} M steps/s")
-    acc = t_fwd + t_inv + t_bwd + t_p1 + t_p2 + t_mask
-    print(f"sum of stages: {acc*1e3:.2f} ms vs end-to-end {t_all*1e3:.2f} ms")
+    acc = t_fwd + t_inv + t_bwd + t_pb + t_mask
+    print(f"sum of stages (split probes): {acc*1e3:.2f} ms vs end-to-end "
+          f"{t_all2*1e3:.2f} ms")
+    print(f"split-probe rate: {gs_per_epoch/t_all2/1e6:.1f} M steps/s")
 
 
 if __name__ == "__main__":
