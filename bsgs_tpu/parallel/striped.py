@@ -30,12 +30,22 @@ from .mesh import CHIPS_AXIS
 from . import sharded_table as st
 
 
+def _gathered(idxs, cnt):
+    """Replicate the per-chip hit buffers to every chip (and hence every
+    process): hit buffers are tiny, and replicated outputs keep the drain
+    free of non-addressable shards on multi-host meshes."""
+    buf_all = jax.lax.all_gather(idxs, CHIPS_AXIS)
+    cnt_all = jax.lax.all_gather(cnt, CHIPS_AXIS)
+    return buf_all.reshape(-1), cnt_all.reshape(-1)
+
+
 def _epoch_fn_replicated(mesh: Mesh, *, chunk, hit_cap, htsz):
     def body(cx, cy, cinf, ox, oy, dense):
         probe_fn = giant.make_probe(dense, htsz=htsz)
-        return giant.epoch_probes(
+        idxs, cnt = giant.epoch_probes(
             cx, cy, cinf, ox, oy, probe_fn, chunk=chunk, hit_cap=hit_cap,
         )
+        return _gathered(idxs, cnt)
 
     c = P(CHIPS_AXIS)
     r = P()
@@ -43,7 +53,7 @@ def _epoch_fn_replicated(mesh: Mesh, *, chunk, hit_cap, htsz):
         _shard_map(
             body, mesh=mesh,
             in_specs=(c, c, c, r, r, r),
-            out_specs=(c, c),
+            out_specs=(r, r),
             check_vma=False,
         )
     )
@@ -55,9 +65,10 @@ def _epoch_fn_sharded_table(mesh: Mesh, spec: st.ShardedTableSpec, *,
 
     def body(cx, cy, cinf, ox, oy, dense_sh):
         probe_fn = lambda hi, lo: probe_sharded(hi, lo, dense_sh)
-        return giant.epoch_probes(
+        idxs, cnt = giant.epoch_probes(
             cx, cy, cinf, ox, oy, probe_fn, chunk=chunk, hit_cap=hit_cap,
         )
+        return _gathered(idxs, cnt)
 
     c = P(CHIPS_AXIS)
     r = P()
@@ -65,7 +76,7 @@ def _epoch_fn_sharded_table(mesh: Mesh, spec: st.ShardedTableSpec, *,
         _shard_map(
             body, mesh=mesh,
             in_specs=(c, c, c, r, r, c),
-            out_specs=(c, c),
+            out_specs=(r, r),
             check_vma=False,
         )
     )
@@ -94,16 +105,35 @@ class MeshSolver(ssolver.Solver):
         self.mesh = mesh
         self.shard_baby_table = shard_baby_table
         self.n_chips = mesh.devices.size
+        self._multiprocess = jax.process_count() > 1
         cfg = self.cfg
         kw = dict(chunk=cfg.chunk, hit_cap=cfg.hit_cap)
         self._sharding = NamedSharding(mesh, P(CHIPS_AXIS))
+        self._replicated = NamedSharding(mesh, P())
+        # pre-place the static operands once (replicated offsets; table
+        # replicated or bucket-range sharded)
+        self._ox_g = self._place(self.ox, self._replicated)
+        self._oy_g = self._place(self.oy, self._replicated)
         if shard_baby_table:
             spec = st.shard_table(self.baby, self.n_chips)
             self._spec = spec
-            self._dense_sh = jax.device_put(spec.dense, self._sharding)
+            self._dense_g = self._place(spec.dense, self._sharding)
             self._epoch = _epoch_fn_sharded_table(mesh, spec, **kw)
         else:
+            self._dense_g = self._place(self.baby.dense, self._replicated)
             self._epoch = _epoch_fn_replicated(mesh, htsz=cfg.htsz, **kw)
+
+    def _place(self, a, sharding):
+        """Put an array on the mesh with the given sharding. Single-process
+        meshes use device_put (no host round-trip — the table may already
+        be device-resident); multi-host meshes build the global array from
+        the host copy every process holds identically."""
+        if not self._multiprocess:
+            return jax.device_put(a, sharding)
+        a = np.asarray(a)
+        return jax.make_array_from_callback(
+            a.shape, sharding, lambda idx: a[idx]
+        )
 
     # -- epoch overrides -----------------------------------------------------
     @property
@@ -115,13 +145,9 @@ class MeshSolver(ssolver.Solver):
         first_job = epoch * self._jobs_per_super
         cx, cy, cinf = self.epoch_centers(q0, first_job, self._jobs_per_super)
         sh = self._sharding
-        cx, cy, cinf = (jax.device_put(a, sh) for a in (cx, cy, cinf))
-        if self.shard_baby_table:
-            buf, cnt = self._epoch(cx, cy, cinf, self.ox, self.oy,
-                                   self._dense_sh)
-        else:
-            buf, cnt = self._epoch(cx, cy, cinf, self.ox, self.oy,
-                                   self.baby.dense)
+        cx, cy, cinf = (self._place(a, sh) for a in (cx, cy, cinf))
+        buf, cnt = self._epoch(cx, cy, cinf, self._ox_g, self._oy_g,
+                               self._dense_g)
         gs = (2 * cfg.n_offsets + 1) * self._jobs_per_super
         return first_job, buf, cnt, gs
 
