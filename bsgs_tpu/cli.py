@@ -28,6 +28,12 @@ import os
 import sys
 import time
 
+# Persistent XLA compile cache: first-run kernel compiles are ~10-30 s
+# each on the TPU; caching makes every later process start warm.
+os.makedirs("/root/.cache/jax", exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(

@@ -75,6 +75,16 @@ class SolverConfig:
         return self.jobs_span * self.jobs_per_epoch * self.stride
 
 
+class HitOverflow(RuntimeError):
+    """An epoch produced more hits than its fixed-capacity buffer; the
+    solve loop re-runs that epoch with a larger cap (the reference cannot
+    recover from this — its winset buffer is fixed at launch)."""
+
+    def __init__(self, count: int):
+        super().__init__(f"hit buffer overflow ({count})")
+        self.count = count
+
+
 @dataclasses.dataclass
 class SolveResult:
     key: Optional[int]
@@ -90,6 +100,11 @@ def build_table(cfg: SolverConfig) -> tbl.BabyTable:
     import jax
 
     if jax.default_backend() == "tpu":
+        if cfg.w >= 1 << 28:
+            # big-w: incremental scatter keeps peak HBM at dense + 1 chunk
+            return tbl.build_baby_table_streamed(
+                cfg.w, cfg.htsz, window=cfg.window
+            )
         return tbl.build_baby_table_device(
             cfg.w, cfg.htsz, window=cfg.window, tile=cfg.table_tile
         )
@@ -106,11 +121,21 @@ class Solver:
             cfg.htsz = self.baby.htsz
         # Giant offsets O_j = j*S*G, j = 1..N (device-resident; analog of the
         # reference g2 buffer, 1_9_7File.pb:1905-2058).
+        import jax
+
         s_g = ecpy.mul(cfg.stride)
-        self.ox, self.oy = ec.fill_multiples(s_g, s_g, cfg.n_offsets)
+        n = cfg.n_offsets
+        if (jax.default_backend() == "tpu" and n >= 2048
+                and n & (n - 1) == 0):
+            # planar fused fill: ~20x the row-major XLA path
+            from ..ops import epoch_kernel as EK, planar as PL
+
+            ox_pl, oy_pl = EK.fill_multiples_planar(s_g, s_g, n)
+            self.ox, self.oy = PL.to_rows(ox_pl), PL.to_rows(oy_pl)
+        else:
+            self.ox, self.oy = ec.fill_multiples(s_g, s_g, n)
         # Epoch center stepping: centers advance by -(2N+1)*S*G.
         self.center_step = ecpy.neg(ecpy.mul(cfg.jobs_span * cfg.stride))
-        import jax
 
         self.fused = cfg.fused
         if self.fused is None:
@@ -156,25 +181,30 @@ class Solver:
         return -(-total_jobs // cfg.jobs_per_epoch)
 
     # -- epoch dispatch ------------------------------------------------------
-    def _dispatch(self, q0, epoch: int):
+    def _dispatch(self, q0, epoch: int, hit_cap: Optional[int] = None):
         """Launch one epoch on the device; returns (first_job, idxs, cnt,
         giant_steps) with idxs/cnt still device-resident (async)."""
         cfg = self.cfg
+        cap = hit_cap or cfg.hit_cap
         first_job = epoch * cfg.jobs_per_epoch
         cx, cy, cinf = self.epoch_centers(q0, first_job, cfg.jobs_per_epoch)
         if self.fused:
-            idxs, cnt, gs = giant.run_epoch_fused(
+            idxs, cnt, _ = giant.run_epoch_fused(
                 cx, cy, cinf, self.ox_pl, self.oy_pl, self.baby.dense,
                 htsz=cfg.htsz, chunk_c=cfg.chunk_c,
-                lanes_w=cfg.lanes_w, hit_cap=cfg.hit_cap,
+                lanes_w=cfg.lanes_w, hit_cap=cap,
                 interpret=self._interpret, n_split=cfg.n_split,
             )
         else:
-            idxs, cnt, gs = giant.run_epoch(
+            idxs, cnt, _ = giant.run_epoch(
                 cx, cy, cinf, self.ox, self.oy, self.baby.dense,
-                htsz=cfg.htsz, chunk=cfg.chunk, hit_cap=cfg.hit_cap,
+                htsz=cfg.htsz, chunk=cfg.chunk, hit_cap=cap,
             )
-        return first_job, idxs, cnt, int(gs)
+        # giant_steps is a static formula: do NOT touch the device value
+        # here — an int() on a jit output would force a host sync per
+        # dispatch and serialize the whole pipeline.
+        gs = (2 * cfg.n_offsets + 1) * cfg.jobs_per_epoch
+        return first_job, idxs, cnt, gs
 
     def _drain(self, pub, pk: int, pke: int, rec):
         """Force one in-flight epoch's results to the host and verify any
@@ -183,10 +213,8 @@ class Solver:
         first_job, idxs, cnt, gs = rec
         cnt = int(cnt)
         hits_checked = 0
-        if cnt > cfg.hit_cap:
-            raise RuntimeError(
-                f"hit buffer overflow ({cnt}); table too collision-heavy"
-            )
+        if cnt > np.asarray(idxs).shape[-1]:
+            raise HitOverflow(cnt)
         if cnt:
             ctx = checker.HitContext(
                 q=pub, pk=pk, s=cfg.stride, n=cfg.n_offsets,
@@ -259,7 +287,15 @@ class Solver:
                 dispatched += 1
                 epoch += epoch_stride
             e, rec = inflight.popleft()
-            key, gs, hc = self._drain(pub, pk, pke, rec)
+            while True:
+                try:
+                    key, gs, hc = self._drain(pub, pk, pke, rec)
+                    break
+                except HitOverflow as ov:
+                    # re-run this epoch with a buffer that fits (rare:
+                    # collision-heavy tables / tiny test geometries)
+                    cap = 1 << max(ov.count.bit_length() + 1, 8)
+                    rec = self._dispatch(q0, e, hit_cap=cap)
             steps += gs
             hits_checked += hc
             drained += 1

@@ -81,6 +81,10 @@ class BabyTable:
     dense: jnp.ndarray
     # host-only full prefixes (None on the device build path)
     sorted_pre: Optional[np.ndarray] = None
+    # streamed big-w build: host (2^htsz, window) mirror of baby POSITIONS
+    # (slot-aligned with dense; 0 = empty). Replaces the CSR arrays, which
+    # at w=2^30 would not be worth materializing host-side.
+    pos_dense: Optional[np.ndarray] = None
 
     def lookup_positions(self, x_int: int) -> list[int]:
         """All baby indices whose X-coordinate prefix matches that of x_int
@@ -97,6 +101,14 @@ class BabyTable:
             return [int(v) for v in self.pos_sorted[l:r]]
         bucket = pre >> (64 - self.htsz)
         disc = (pre >> (32 - self.htsz)) & 0xFFFFFFFF
+        if self.pos_dense is not None:
+            # streamed build: one device row pull + the host position mirror
+            row = np.asarray(self.dense[bucket])
+            prow = self.pos_dense[bucket]
+            return [
+                int(p) for p, d in zip(prow, row)
+                if d == np.uint32(disc) and p != 0
+            ]
         l = int(self.offsets[bucket])
         r = int(self.offsets[bucket + 1])
         d = np.asarray(self.disc_sorted[l:r])
@@ -146,6 +158,35 @@ def _prefix_tiles(w: int, tile: int):
         done += take
         if done < w:
             bx, by, _ = ec.extend_tile(bx, by, cx, cy, dx, dy)
+
+
+def _prefix_tiles_planar(w: int, tile: int, interpret: bool = False):
+    """Planar-Pallas twin of _prefix_tiles: yields (hi, lo) (1, take) uint32
+    prefix planes of 1G..wG tile by tile, with the tile advance running in
+    the fused add-const kernel (ops/epoch_kernel.add_const_planar) instead
+    of row-major XLA EC ops — the generation hot loop at ~20x the
+    throughput. Requires tile (power of two) >= 2048 lanes."""
+    from ..ops import epoch_kernel as EK, planar as PL
+
+    tile = min(tile, 1 << max(11, (w - 1).bit_length()))
+    assert tile >= 2048 and tile & (tile - 1) == 0, tile
+    xs, ys = EK.fill_multiples_planar(ecpy.G, ecpy.G, tile,
+                                      interpret=interpret)
+    step = ecpy.mul(tile)
+    cxc = jnp.asarray(PL.const_col(step[0]))
+    cyc = jnp.asarray(PL.const_col(step[1]))
+    prefix_fn = jax.jit(PL.x_prefix64)
+    hi, lo = prefix_fn(xs)
+    done = 0
+    while done < w:
+        take = min(tile, w - done)
+        yield hi[:, :take], lo[:, :take]
+        done += take
+        if done < w:
+            xs, ys, hi, lo = EK.add_const_planar(
+                xs, ys, cxc, cyc, interpret=interpret
+            )
+            hi, lo = hi[None], lo[None]
 
 
 def compute_prefixes(w: int, tile: int = 1 << 14) -> np.ndarray:
@@ -208,7 +249,13 @@ def build_baby_table_device(
     """
     if htsz is None:
         htsz = pick_htsz(w, window)
-    tiles = list(_prefix_tiles(w, tile))
+    if jax.default_backend() == "tpu" and w >= 2048:
+        tiles = [
+            (h.reshape(-1), l.reshape(-1))
+            for h, l in _prefix_tiles_planar(w, max(tile, 1 << 18))
+        ]
+    else:
+        tiles = list(_prefix_tiles(w, tile))
     hi = jnp.concatenate([t[0] for t in tiles])
     lo = jnp.concatenate([t[1] for t in tiles])
     offsets, sd, sp, dense, maxb = _device_pack(hi, lo, htsz=htsz,
@@ -223,6 +270,110 @@ def build_baby_table_device(
         w=w, htsz=htsz, window=window,
         offsets=offsets, disc_sorted=sd, pos_sorted=sp, dense=dense,
         sorted_pre=None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streamed big-w build: incremental scatter, O(chunk) extra device memory
+
+
+@partial(jax.jit, static_argnames=("htsz", "window"), donate_argnums=(2, 3))
+def _chunk_scatter(hi, lo, dense, counts, base, *, htsz: int, window: int):
+    """Insert one chunk of prefixes into the incremental dense matrix.
+
+    rank-in-bucket = running bucket fill (counts) + rank within the chunk
+    (sort by bucket, then index minus segment start). Overflowing entries
+    (rank >= window) get an out-of-bounds row and are DROPPED by the
+    scatter; the builder checks counts.max() afterwards. Returns the
+    donated (dense, counts) plus (slot, pos) for the host position mirror.
+    """
+    m = hi.shape[0]
+    bucket, disc = bucket_disc(hi, lo, htsz)
+    pos = base + jnp.arange(1, m + 1, dtype=_U32)
+    sb, sd, sp = jax.lax.sort((bucket, disc, pos), num_keys=1)
+    idx = jnp.arange(m, dtype=_U32)
+    is_start = jnp.concatenate([jnp.ones(1, bool), sb[1:] != sb[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(is_start, idx, _U32(0)))
+    rank = idx - seg_start + counts[sb]
+    valid = rank < _U32(window)
+    row = jnp.where(valid, sb, _U32(1 << htsz))  # OOB row -> drop
+    col = jnp.where(valid, rank, _U32(0))
+    dense = dense.at[row, col].set(sd, mode="drop")
+    counts = counts.at[sb].add(_U32(1))
+    slot = jnp.where(valid, sb * _U32(window) + rank, _U32(0))
+    return dense, counts, valid, slot, sp
+
+
+def build_baby_table_streamed(
+    w: int,
+    htsz: Optional[int] = None,
+    window: int = DEVICE_WINDOW,
+    tile: int = 1 << 20,
+    chunk: int = 1 << 24,
+) -> BabyTable:
+    """Big-w device build: the dense matrix is filled chunk by chunk so
+    peak device memory is dense (8 B/entry at the default load factor 1/2)
+    plus ONE chunk of transients — w = 2^30 fits a 16 GB chip alongside
+    the scan. The reference reaches its w_max = 3.07e9 (README.md:23,
+    1_9_7File.pb:4412) by streaming the build through a 512 MiB host
+    buffer (packHTFile, 1_9_7File.pb:3232-3444); here the stream stays on
+    the chip and only (slot, position) pairs cross to the host, feeding
+    the position mirror the checker uses in place of a host CSR.
+    """
+    if htsz is None:
+        htsz = pick_htsz(w, window)
+    nb = 1 << htsz
+    dense = jnp.full((nb, window), jnp.asarray(DENSE_FILL))
+    counts = jnp.zeros((nb,), _U32)
+    pos_dense = np.zeros((nb, window), np.uint32)
+    flat_pos = pos_dense.reshape(-1)
+    nslots = nb * window
+
+    buf_h, buf_l, have, base = [], [], 0, 0
+
+    def flush():
+        nonlocal dense, counts, base, buf_h, buf_l, have
+        hi = jnp.concatenate(buf_h) if len(buf_h) > 1 else buf_h[0]
+        lo = jnp.concatenate(buf_l) if len(buf_l) > 1 else buf_l[0]
+        dense, counts, valid, slot, sp = _chunk_scatter(
+            hi, lo, dense, counts, np.uint32(base), htsz=htsz, window=window
+        )
+        s = np.asarray(slot)
+        p = np.asarray(sp)
+        v = np.asarray(valid)
+        flat_pos[s[v]] = p[v]
+        base += have
+        buf_h, buf_l, have = [], [], 0
+
+    gen = (
+        _prefix_tiles_planar(w, tile)
+        if jax.default_backend() == "tpu"
+        else _prefix_tiles(w, min(tile, 1 << 14))
+    )
+    for hi, lo in gen:
+        buf_h.append(hi.reshape(-1))
+        buf_l.append(lo.reshape(-1))
+        have += hi.shape[-1]
+        if have >= chunk:
+            flush()
+    if have:
+        flush()
+
+    counts_h = np.asarray(counts)
+    maxb = int(counts_h.max())
+    if maxb > window:
+        raise ValueError(
+            f"bucket overflow: max bucket {maxb} > window {window}; "
+            f"raise htsz (now {htsz}) or window"
+        )
+    offsets = np.concatenate(
+        [np.zeros(1, np.uint32),
+         np.cumsum(counts_h, dtype=np.uint64).astype(np.uint32)]
+    )
+    return BabyTable(
+        w=w, htsz=htsz, window=window,
+        offsets=offsets, disc_sorted=None, pos_sorted=None,
+        dense=dense, sorted_pre=None, pos_dense=pos_dense,
     )
 
 

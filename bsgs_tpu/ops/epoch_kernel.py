@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -188,6 +189,132 @@ def batch_inv_planar(v, *, chunk_c: int = 64, lanes_w: int = 256,
         out_shape=jax.ShapeDtypeStruct((nl, m), jnp.uint32),
         interpret=interpret,
     )(v)
+
+
+# ---------------------------------------------------------------------------
+# Planar batched add of a common point: the table-generation hot loop.
+
+
+def _addc_kernel(xs_ref, ys_ref, inv_ref, cx_ref, cy_ref,
+                 x3_ref, y3_ref, pre_ref):
+    """(xs, ys) + C lane-wise, inv = 1/den precomputed (den = Cx - x, or 2y
+    on the doubling lanes x == Cx — generation only ever hits P == +C, see
+    add_const_planar). Also emits the 64-bit X prefix of the result."""
+    cx = cx_ref[:, 0:1]
+    cy = cy_ref[:, 0:1]
+    xs = xs_ref[:, :]
+    ys = ys_ref[:, :]
+    inv = inv_ref[:, :]
+    exact = P.is_zero(P.sub_mod(cx, xs))
+    x2 = P.sqr_mod(xs)
+    num = P.select(exact, P.add_mod(P.add_mod(x2, x2), x2),
+                   P.sub_mod(cy, ys))
+    lam = P.mul_mod(num, inv)
+    # on exact (doubling) lanes cx == xs, so xs + cx == 2x in both cases
+    x3 = P.sub_mod(P.sqr_mod(lam), P.add_mod(xs, cx))
+    y3 = P.sub_mod(P.mul_mod(lam, P.sub_mod(xs, x3)), ys)
+    x3_ref[:, :] = x3
+    y3_ref[:, :] = y3
+    hi, lo = P.x_prefix64(x3)
+    pre_ref[0:1, :] = hi
+    pre_ref[1:2, :] = lo
+    pre_ref[2:, :] = jnp.zeros((6, hi.shape[1]), _U32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("blk", "chunk_c", "lanes_w", "interpret")
+)
+def add_const_planar(xs, ys, cx_col, cy_col, *, blk: int = 2048,
+                     chunk_c: int = 64, lanes_w: int = 256,
+                     interpret: bool = False):
+    """Planar (16, M) batch + one common point C, fused in Pallas with one
+    shared batch inversion — the generation twin of ops/ec.add_common
+    (reference completeBatchAddWithDouble, lib/Curve64.pb:2946-3031), ~20x
+    the row-major XLA path's throughput on TPU.
+
+    Handles x == Cx lanes as doublings (P == +C): correct for multiples
+    generation where P == -C cannot occur (indices never sum to 0 mod n).
+    Returns (x3, y3, prefix_hi, prefix_lo) with prefixes of x3.
+    """
+    nl = F.NLIMBS
+    m = xs.shape[1]
+    assert m % blk == 0, (m, blk)
+    exact = P.is_zero(P.sub_mod(cx_col, xs))
+    den = P.select(exact, P.add_mod(ys, ys), P.sub_mod(cx_col, xs))
+    inv = batch_inv_planar(den, chunk_c=chunk_c, lanes_w=lanes_w,
+                           interpret=interpret)
+    cxw = jnp.broadcast_to(cx_col, (nl, 128))
+    cyw = jnp.broadcast_to(cy_col, (nl, 128))
+    b_spec = pl.BlockSpec((nl, blk), lambda b: (0, b),
+                          memory_space=pltpu.VMEM)
+    c_spec = pl.BlockSpec((nl, 128), lambda b: (0, 0),
+                          memory_space=pltpu.VMEM)
+    p_spec = pl.BlockSpec((8, blk), lambda b: (0, b),
+                          memory_space=pltpu.VMEM)
+    x3, y3, pre = pl.pallas_call(
+        _addc_kernel,
+        grid=(m // blk,),
+        in_specs=[b_spec, b_spec, b_spec, c_spec, c_spec],
+        out_specs=[b_spec, b_spec, p_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((nl, m), jnp.uint32),
+            jax.ShapeDtypeStruct((nl, m), jnp.uint32),
+            jax.ShapeDtypeStruct((8, m), jnp.uint32),
+        ],
+        interpret=interpret,
+    )(xs, ys, inv, cxw, cyw)
+    return x3, y3, pre[0], pre[1]
+
+
+@jax.jit
+def _fill_place(xs, ys, x3, y3, have):
+    """Place lanes [0, have) of (x3, y3) at [have, 2*have) of (xs, ys).
+
+    have is TRACED so every doubling pass reuses one compiled program
+    (an eager x3[:, :have] slice + update would recompile per pass)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, xs.shape, 1)
+    m = (lane >= have) & (lane < 2 * have)
+    return (
+        jnp.where(m, jnp.roll(x3, have, axis=1), xs),
+        jnp.where(m, jnp.roll(y3, have, axis=1), ys),
+    )
+
+
+def fill_multiples_planar(base_pt, step_pt, n: int, seed: int = 1024,
+                          interpret: bool = False):
+    """Planar (16, n) x/y arrays of [base + i*step, i = 0..n-1], built by
+    doubling-fill passes (reference fillarrayN, lib/Curve64.pb:3033-3065)
+    that run ENTIRELY in the fused planar kernel: a tiny host-exact seed
+    row, then log2(n/seed) full-width add_const_planar passes (the arrays
+    stay at their final width so every pass reuses one compiled kernel;
+    garbage in not-yet-filled lanes never feeds a filled lane).
+
+    base/step are host-int affine points; no lane may be the point at
+    infinity (generation patterns guarantee indices never sum to 0 mod n).
+    """
+    from ..utils import ecpy
+    from . import ec
+
+    assert n >= 2048 and n % 2048 == 0, n
+    assert n & (n - 1) == 0, n
+    seed = min(seed, n)
+    sx, sy, sinf = ec.host_row(base_pt, step_pt, seed)
+    assert not sinf.any(), "infinity lane in planar fill seed"
+    xs0 = np.zeros((F.NLIMBS, n), np.uint32)
+    ys0 = np.zeros((F.NLIMBS, n), np.uint32)
+    xs0[:, :seed] = sx.T
+    ys0[:, :seed] = sy.T
+    xs, ys = jnp.asarray(xs0), jnp.asarray(ys0)
+    have = seed
+    while have < n:
+        c_pt = ecpy.mul(have, step_pt)
+        cxc = jnp.asarray(P.const_col(c_pt[0]))
+        cyc = jnp.asarray(P.const_col(c_pt[1]))
+        x3, y3, _, _ = add_const_planar(xs, ys, cxc, cyc,
+                                        interpret=interpret)
+        xs, ys = _fill_place(xs, ys, x3, y3, np.int32(have))
+        have *= 2
+    return xs, ys
 
 
 @functools.partial(

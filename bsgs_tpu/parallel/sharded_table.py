@@ -65,6 +65,66 @@ def shard_table(table: BabyTable, n_shards: int) -> ShardedTableSpec:
     )
 
 
+def make_alltoall_probe(spec: ShardedTableSpec, axis: str = CHIPS_AXIS,
+                        slack: float = 2.0):
+    """Bandwidth-lean probe routing: each probe is shuffled to the ONE chip
+    owning its bucket range (all_to_all), answered locally, and shuffled
+    back — per-chip traffic is O(m) probes independent of mesh size, vs the
+    all_gather route's O(n_chips * m) (make_sharded_probe). No reference
+    analog (it replicates the table per GPU, 1_9_7File.pb:2350-2353).
+
+    Routing capacity per destination is slack * m / n_chips (probes are
+    uniform over buckets, so Poisson tails above 2x the mean are
+    astronomically rare). If a destination overflows anyway, the
+    un-routable probes are conservatively marked FOUND: the host checker
+    verifies every hit exactly, so correctness never depends on the route
+    (they just cost verification work) — the same untrusted-hit discipline
+    as the reference's checkerThread (1_9_7File.pb:3933-4296).
+    """
+    htsz = spec.htsz
+    bps = spec.buckets_per_shard
+    n = spec.n_shards
+
+    def probe_fn(hi, lo, dense_local):
+        m = hi.shape[0]
+        cap = max(128, -(-int(slack * m / n) // 128) * 128)
+        bucket, d = bucket_disc(hi, lo, htsz)
+        idx = jnp.arange(m, dtype=_U32)
+        sb, sd, sidx = jax.lax.sort((bucket, d, idx), num_keys=1)
+        owner = sb // _U32(bps)  # owner-sorted because bucket-sorted
+        # rank within owner segment (cummax of segment starts)
+        is_start = jnp.concatenate(
+            [jnp.ones(1, bool), owner[1:] != owner[:-1]]
+        )
+        seg_start = jax.lax.cummax(jnp.where(is_start, idx, _U32(0)))
+        rank = idx - seg_start
+        ok = rank < _U32(cap)
+        slot = jnp.where(ok, owner * _U32(cap) + rank, _U32(n * cap))
+        send_b = jnp.full((n * cap,), _U32(0xFFFFFFFF)).at[slot].set(
+            sb, mode="drop"
+        )
+        send_d = jnp.zeros((n * cap,), _U32).at[slot].set(sd, mode="drop")
+        # exchange: row i of (n, cap) goes to chip i; receive row j from j
+        rb = jax.lax.all_to_all(send_b.reshape(n, cap), axis, 0, 0)
+        rd = jax.lax.all_to_all(send_d.reshape(n, cap), axis, 0, 0)
+        rb_f = rb.reshape(-1)
+        rd_f = rd.reshape(-1)
+        my = jax.lax.axis_index(axis).astype(_U32)
+        local_b = rb_f - my * _U32(bps)
+        mine = local_b < _U32(bps)  # u32 wrap excludes sentinels/others
+        win = dense_local[jnp.where(mine, local_b, _U32(0))]
+        found = jnp.any(win == rd_f[:, None], axis=-1) & mine
+        # route answers back (row j = answers for probes I sent to chip j)
+        fb = jax.lax.all_to_all(found.reshape(n, cap), axis, 0, 0)
+        ffl = fb.reshape(-1)
+        ans_sorted = jnp.where(
+            ok, ffl[jnp.where(ok, slot, _U32(0))], True  # overflow -> found
+        )
+        return jnp.zeros((m,), bool).at[sidx].set(ans_sorted)
+
+    return probe_fn
+
+
 def make_sharded_probe(spec: ShardedTableSpec, axis: str = CHIPS_AXIS):
     """Probe closure to run INSIDE shard_map: local shards answer their
     bucket range for the all-gathered probe stream; psum ORs the answers.

@@ -15,6 +15,8 @@ reporting, and resume semantics are IDENTICAL to the single-chip path
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -60,8 +62,11 @@ def _epoch_fn_replicated(mesh: Mesh, *, chunk, hit_cap, htsz):
 
 
 def _epoch_fn_sharded_table(mesh: Mesh, spec: st.ShardedTableSpec, *,
-                            chunk, hit_cap):
-    probe_sharded = st.make_sharded_probe(spec)
+                            chunk, hit_cap, routing: str = "all_gather"):
+    if routing == "all_to_all":
+        probe_sharded = st.make_alltoall_probe(spec)
+    else:
+        probe_sharded = st.make_sharded_probe(spec)
 
     def body(cx, cy, cinf, ox, oy, dense_sh):
         probe_fn = lambda hi, lo: probe_sharded(hi, lo, dense_sh)
@@ -93,7 +98,8 @@ class MeshSolver(ssolver.Solver):
     """
 
     def __init__(self, base: ssolver.Solver, mesh: Mesh,
-                 shard_baby_table: bool = False):
+                 shard_baby_table: bool = False,
+                 probe_routing: str = "all_gather"):
         # adopt the base solver's state instead of rebuilding tables
         self.cfg = base.cfg
         self.baby = base.baby
@@ -104,24 +110,40 @@ class MeshSolver(ssolver.Solver):
         self.base = base
         self.mesh = mesh
         self.shard_baby_table = shard_baby_table
+        self.probe_routing = probe_routing
         self.n_chips = mesh.devices.size
         self._multiprocess = jax.process_count() > 1
         cfg = self.cfg
-        kw = dict(chunk=cfg.chunk, hit_cap=cfg.hit_cap)
         self._sharding = NamedSharding(mesh, P(CHIPS_AXIS))
         self._replicated = NamedSharding(mesh, P())
         # pre-place the static operands once (replicated offsets; table
         # replicated or bucket-range sharded)
         self._ox_g = self._place(self.ox, self._replicated)
         self._oy_g = self._place(self.oy, self._replicated)
+        self._epoch_fns = {}  # hit_cap -> compiled epoch fn
         if shard_baby_table:
             spec = st.shard_table(self.baby, self.n_chips)
             self._spec = spec
             self._dense_g = self._place(spec.dense, self._sharding)
-            self._epoch = _epoch_fn_sharded_table(mesh, spec, **kw)
         else:
+            self._spec = None
             self._dense_g = self._place(self.baby.dense, self._replicated)
-            self._epoch = _epoch_fn_replicated(mesh, htsz=cfg.htsz, **kw)
+        self._epoch = self._epoch_fn(cfg.hit_cap)
+
+    def _epoch_fn(self, hit_cap: int):
+        """Compiled super-epoch fn for a hit capacity (cached; larger caps
+        compile on demand when an overflow re-run needs them)."""
+        if hit_cap not in self._epoch_fns:
+            cfg = self.cfg
+            kw = dict(chunk=cfg.chunk, hit_cap=hit_cap)
+            if self.shard_baby_table:
+                fn = _epoch_fn_sharded_table(
+                    self.mesh, self._spec, routing=self.probe_routing, **kw
+                )
+            else:
+                fn = _epoch_fn_replicated(self.mesh, htsz=cfg.htsz, **kw)
+            self._epoch_fns[hit_cap] = fn
+        return self._epoch_fns[hit_cap]
 
     def _place(self, a, sharding):
         """Put an array on the mesh with the given sharding. Single-process
@@ -140,14 +162,15 @@ class MeshSolver(ssolver.Solver):
     def _jobs_per_super(self) -> int:
         return self.cfg.jobs_per_epoch * self.n_chips
 
-    def _dispatch(self, q0, epoch: int):
+    def _dispatch(self, q0, epoch: int, hit_cap: Optional[int] = None):
         cfg = self.cfg
         first_job = epoch * self._jobs_per_super
         cx, cy, cinf = self.epoch_centers(q0, first_job, self._jobs_per_super)
         sh = self._sharding
         cx, cy, cinf = (self._place(a, sh) for a in (cx, cy, cinf))
-        buf, cnt = self._epoch(cx, cy, cinf, self._ox_g, self._oy_g,
-                               self._dense_g)
+        epoch_fn = self._epoch_fn(hit_cap) if hit_cap else self._epoch
+        buf, cnt = epoch_fn(cx, cy, cinf, self._ox_g, self._oy_g,
+                            self._dense_g)
         gs = (2 * cfg.n_offsets + 1) * self._jobs_per_super
         return first_job, buf, cnt, gs
 
@@ -155,16 +178,15 @@ class MeshSolver(ssolver.Solver):
         cfg = self.cfg
         first_job, buf, cnt, gs = rec
         cnt = np.asarray(cnt)
-        buf = np.asarray(buf).reshape(self.n_chips, cfg.hit_cap)
+        buf = np.asarray(buf).reshape(self.n_chips, -1)
+        cap = buf.shape[1]
         hits_checked = 0
         for chip in range(self.n_chips):
             c = int(cnt[chip])
             if c == 0:
                 continue
-            if c > cfg.hit_cap:
-                raise RuntimeError(
-                    f"hit buffer overflow ({c}); table too collision-heavy"
-                )
+            if c > cap:
+                raise ssolver.HitOverflow(c)
             ctx = checker.HitContext(
                 q=pub, pk=pk, s=cfg.stride, n=cfg.n_offsets,
                 job_base=first_job + chip * cfg.jobs_per_epoch,

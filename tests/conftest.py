@@ -10,6 +10,7 @@ import os
 # Force CPU regardless of the session platform (the driver may export
 # JAX_PLATFORMS=axon/tpu): the suite needs the 8-device virtual mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.makedirs("/root/.cache/jax", exist_ok=True)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")

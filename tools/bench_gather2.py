@@ -4,6 +4,7 @@ replication, and sanity checks on whether the fast numbers are real."""
 import os
 import time
 
+os.makedirs("/root/.cache/jax", exist_ok=True)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 

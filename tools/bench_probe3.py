@@ -20,6 +20,7 @@ pulled to the host (same discipline as tools/bench_gather.py).
 import os
 import time
 
+os.makedirs("/root/.cache/jax", exist_ok=True)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 

@@ -13,6 +13,7 @@ block_until_ready so the round-2 perf work attacks evidence, not guesses:
 import os
 import time
 
+os.makedirs("/root/.cache/jax", exist_ok=True)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
