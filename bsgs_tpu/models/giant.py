@@ -150,6 +150,60 @@ def decode_flat(flat: int, t_jobs: int, n: int):
     return 5, flat - 3 * tn, 0
 
 
+def fused_epoch_probes(
+    centers_x,
+    centers_y,
+    centers_inf,
+    ox_pl,
+    oy_pl,
+    probe_p_fn,
+    probe_m_fn,
+    probe_c_fn,
+    *,
+    htsz: int,
+    chunk_c: int = 64,
+    lanes_w: int = 256,
+    hit_cap: int = 512,
+    interpret: bool = False,
+):
+    """Fused-epoch core with pluggable (bucket, disc) probes: the EC math
+    runs in the Pallas kernels (ops/epoch_kernel.epoch_landing_keys); the
+    three probe streams (+ landings, - landings, centers) are answered by
+    the given closures so bsgs_tpu/parallel can route them through a
+    replicated, bucket-sharded, or all-to-all table INSIDE shard_map —
+    the round-3 fix for the mesh path abandoning the fused kernels.
+
+    Returns (hit flat-indices (hit_cap,) uint32 FILL-padded, (1,) count).
+    """
+    from ..ops import epoch_kernel as EK
+
+    keys = EK.epoch_landing_keys(
+        jnp.swapaxes(centers_x, 0, 1),
+        jnp.swapaxes(centers_y, 0, 1),
+        ox_pl,
+        oy_pl,
+        htsz=htsz,
+        chunk_c=chunk_c,
+        lanes_w=lanes_w,
+        interpret=interpret,
+    )
+    exact = keys[4] != 0
+    found_p = probe_p_fn(keys[0], keys[1])
+    found_m = probe_m_fn(keys[2], keys[3])
+    hc_hi, hc_lo = F.x_prefix64(centers_x)
+    bc, dc = T.bucket_disc(hc_hi, hc_lo, htsz)
+    found_c = probe_c_fn(bc, dc)
+    mask = jnp.concatenate(
+        [
+            found_p & ~exact,
+            found_m & ~exact,
+            exact,
+            found_c | centers_inf,
+        ]
+    )
+    return _mask_to_hits(mask, hit_cap)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -178,34 +232,18 @@ def run_epoch_fused(
     pipeline overlaps them — see models/table.probe_keys_split), mask
     combine, and hit compaction. Offsets come PLANAR (16, N).
     """
-    from ..ops import epoch_kernel as EK
-
     t_jobs = centers_x.shape[0]
     n = ox_pl.shape[1]
-    keys = EK.epoch_landing_keys(
-        jnp.swapaxes(centers_x, 0, 1),
-        jnp.swapaxes(centers_y, 0, 1),
-        ox_pl,
-        oy_pl,
-        htsz=htsz,
-        chunk_c=chunk_c,
-        lanes_w=lanes_w,
+
+    def probe_bd(b, d):
+        return T.probe_keys_split(b, d, dense, n_split=n_split)
+
+    idxs, cnt = fused_epoch_probes(
+        centers_x, centers_y, centers_inf, ox_pl, oy_pl,
+        probe_bd, probe_bd, lambda b, d: T.probe_keys(b, d, dense),
+        htsz=htsz, chunk_c=chunk_c, lanes_w=lanes_w, hit_cap=hit_cap,
         interpret=interpret,
     )
-    exact = keys[4] != 0
-    found_p = T.probe_keys_split(keys[0], keys[1], dense, n_split=n_split)
-    found_m = T.probe_keys_split(keys[2], keys[3], dense, n_split=n_split)
-    hc_hi, hc_lo = F.x_prefix64(centers_x)
-    found_c = T.probe(hc_hi, hc_lo, dense, htsz=htsz)
-    mask = jnp.concatenate(
-        [
-            found_p & ~exact,
-            found_m & ~exact,
-            exact,
-            found_c | centers_inf,
-        ]
-    )
-    idxs, cnt = _mask_to_hits(mask, hit_cap)
     return idxs, cnt[0], (2 * n + 1) * t_jobs
 
 

@@ -65,13 +65,15 @@ def shard_table(table: BabyTable, n_shards: int) -> ShardedTableSpec:
     )
 
 
-def make_alltoall_probe(spec: ShardedTableSpec, axis: str = CHIPS_AXIS,
-                        slack: float = 2.0):
-    """Bandwidth-lean probe routing: each probe is shuffled to the ONE chip
-    owning its bucket range (all_to_all), answered locally, and shuffled
-    back — per-chip traffic is O(m) probes independent of mesh size, vs the
-    all_gather route's O(n_chips * m) (make_sharded_probe). No reference
-    analog (it replicates the table per GPU, 1_9_7File.pb:2350-2353).
+def make_alltoall_probe_bd(spec: ShardedTableSpec, axis: str = CHIPS_AXIS,
+                           slack: float = 2.0):
+    """Bandwidth-lean probe routing from precomputed (bucket, disc) keys
+    (as the fused Pallas epoch kernels emit them): each probe is shuffled
+    to the ONE chip owning its bucket range (all_to_all), answered
+    locally, and shuffled back — per-chip traffic is O(m) probes
+    independent of mesh size, vs the all_gather route's O(n_chips * m)
+    (make_sharded_probe_bd). No reference analog (it replicates the table
+    per GPU, 1_9_7File.pb:2350-2353).
 
     Routing capacity per destination is slack * m / n_chips (probes are
     uniform over buckets, so Poisson tails above 2x the mean are
@@ -81,14 +83,12 @@ def make_alltoall_probe(spec: ShardedTableSpec, axis: str = CHIPS_AXIS,
     (they just cost verification work) — the same untrusted-hit discipline
     as the reference's checkerThread (1_9_7File.pb:3933-4296).
     """
-    htsz = spec.htsz
     bps = spec.buckets_per_shard
     n = spec.n_shards
 
-    def probe_fn(hi, lo, dense_local):
-        m = hi.shape[0]
+    def probe_fn(bucket, d, dense_local):
+        m = bucket.shape[0]
         cap = max(128, -(-int(slack * m / n) // 128) * 128)
-        bucket, d = bucket_disc(hi, lo, htsz)
         idx = jnp.arange(m, dtype=_U32)
         sb, sd, sidx = jax.lax.sort((bucket, d, idx), num_keys=1)
         owner = sb // _U32(bps)  # owner-sorted because bucket-sorted
@@ -125,21 +125,34 @@ def make_alltoall_probe(spec: ShardedTableSpec, axis: str = CHIPS_AXIS,
     return probe_fn
 
 
-def make_sharded_probe(spec: ShardedTableSpec, axis: str = CHIPS_AXIS):
-    """Probe closure to run INSIDE shard_map: local shards answer their
-    bucket range for the all-gathered probe stream; psum ORs the answers.
+def make_alltoall_probe(spec: ShardedTableSpec, axis: str = CHIPS_AXIS,
+                        slack: float = 2.0):
+    """(hi, lo) 64-bit-prefix wrapper over make_alltoall_probe_bd (the
+    row-major XLA epoch path probes by prefix)."""
+    core = make_alltoall_probe_bd(spec, axis, slack)
+    htsz = spec.htsz
+
+    def probe_fn(hi, lo, dense_local):
+        bucket, d = bucket_disc(hi, lo, htsz)
+        return core(bucket, d, dense_local)
+
+    return probe_fn
+
+
+def make_sharded_probe_bd(spec: ShardedTableSpec, axis: str = CHIPS_AXIS):
+    """Probe closure (bucket, disc keys) to run INSIDE shard_map: local
+    shards answer their bucket range for the all-gathered probe stream;
+    psum ORs the answers.
 
     dense_local arrives as this chip's (buckets_per_shard, window) row
     slice (shard_map slicing of the stacked spec.dense).
     """
-    htsz = spec.htsz
     bps = spec.buckets_per_shard
 
-    def probe_fn(hi, lo, dense_local):
-        n_local = hi.shape[0]
-        hi_all = jax.lax.all_gather(hi, axis, tiled=True)
-        lo_all = jax.lax.all_gather(lo, axis, tiled=True)
-        bucket, d = bucket_disc(hi_all, lo_all, htsz)
+    def probe_fn(bucket_local, d_local, dense_local):
+        n_local = bucket_local.shape[0]
+        bucket = jax.lax.all_gather(bucket_local, axis, tiled=True)
+        d = jax.lax.all_gather(d_local, axis, tiled=True)
         my = jax.lax.axis_index(axis).astype(_U32)
         local_bucket = bucket - my * _U32(bps)
         mine = local_bucket < _U32(bps)  # u32 wraps below the range
@@ -149,5 +162,17 @@ def make_sharded_probe(spec: ShardedTableSpec, axis: str = CHIPS_AXIS):
         # return this chip's own segment of the probe stream
         start = jax.lax.axis_index(axis) * n_local
         return jax.lax.dynamic_slice(found, (start,), (n_local,))
+
+    return probe_fn
+
+
+def make_sharded_probe(spec: ShardedTableSpec, axis: str = CHIPS_AXIS):
+    """(hi, lo) 64-bit-prefix wrapper over make_sharded_probe_bd."""
+    core = make_sharded_probe_bd(spec, axis)
+    htsz = spec.htsz
+
+    def probe_fn(hi, lo, dense_local):
+        bucket, d = bucket_disc(hi, lo, htsz)
+        return core(bucket, d, dense_local)
 
     return probe_fn

@@ -87,6 +87,71 @@ def _epoch_fn_sharded_table(mesh: Mesh, spec: st.ShardedTableSpec, *,
     )
 
 
+def _epoch_fn_replicated_fused(mesh: Mesh, *, hit_cap, htsz, chunk_c,
+                               lanes_w, n_split, interpret):
+    """Fused Pallas epoch INSIDE shard_map with a replicated table: per
+    chip, the EC math runs in the epoch kernels and the probes are local
+    dense-row gathers — the same program as the single-chip hot path
+    (round-3 fix: the mesh path must not fall back to the row-major XLA
+    body, whose EC math is ~100x slower; see ops/epoch_kernel.py)."""
+    from ..models import table as T
+
+    def body(cx, cy, cinf, ox_pl, oy_pl, dense):
+        def probe_bd(b, d):
+            return T.probe_keys_split(b, d, dense, n_split=n_split)
+
+        idxs, cnt = giant.fused_epoch_probes(
+            cx, cy, cinf, ox_pl, oy_pl,
+            probe_bd, probe_bd, lambda b, d: T.probe_keys(b, d, dense),
+            htsz=htsz, chunk_c=chunk_c, lanes_w=lanes_w, hit_cap=hit_cap,
+            interpret=interpret,
+        )
+        return _gathered(idxs, cnt)
+
+    c = P(CHIPS_AXIS)
+    r = P()
+    return jax.jit(
+        _shard_map(
+            body, mesh=mesh,
+            in_specs=(c, c, c, r, r, r),
+            out_specs=(r, r),
+            check_vma=False,
+        )
+    )
+
+
+def _epoch_fn_sharded_fused(mesh: Mesh, spec: st.ShardedTableSpec, *,
+                            hit_cap, htsz, chunk_c, lanes_w,
+                            interpret, routing: str = "all_gather"):
+    """Fused Pallas epoch INSIDE shard_map with a bucket-sharded table:
+    the kernels emit (bucket, disc) probe keys per chip; the three streams
+    are routed through the collective probe (all_gather or all_to_all)."""
+    if routing == "all_to_all":
+        probe_bd = st.make_alltoall_probe_bd(spec)
+    else:
+        probe_bd = st.make_sharded_probe_bd(spec)
+
+    def body(cx, cy, cinf, ox_pl, oy_pl, dense_sh):
+        fn = lambda b, d: probe_bd(b, d, dense_sh)
+        idxs, cnt = giant.fused_epoch_probes(
+            cx, cy, cinf, ox_pl, oy_pl, fn, fn, fn,
+            htsz=htsz, chunk_c=chunk_c, lanes_w=lanes_w, hit_cap=hit_cap,
+            interpret=interpret,
+        )
+        return _gathered(idxs, cnt)
+
+    c = P(CHIPS_AXIS)
+    r = P()
+    return jax.jit(
+        _shard_map(
+            body, mesh=mesh,
+            in_specs=(c, c, c, r, r, c),
+            out_specs=(r, r),
+            check_vma=False,
+        )
+    )
+
+
 class MeshSolver(ssolver.Solver):
     """Drives the scan over a device mesh; one "epoch" of the shared solve
     loop is a SUPER-epoch of n_chips * jobs_per_epoch jobs.
@@ -105,7 +170,10 @@ class MeshSolver(ssolver.Solver):
         self.baby = base.baby
         self.ox, self.oy = base.ox, base.oy
         self.center_step = base.center_step
-        self.fused = False  # mesh path uses the shard_map XLA epoch body
+        # Mesh epochs run the SAME fused Pallas kernels as the single-chip
+        # hot path whenever the base solver does (round-3 fix: forcing the
+        # row-major XLA body here collapsed per-chip rates ~100x).
+        self.fused = base.fused
         self._interpret = base._interpret
         self.base = base
         self.mesh = mesh
@@ -116,10 +184,14 @@ class MeshSolver(ssolver.Solver):
         cfg = self.cfg
         self._sharding = NamedSharding(mesh, P(CHIPS_AXIS))
         self._replicated = NamedSharding(mesh, P())
-        # pre-place the static operands once (replicated offsets; table
-        # replicated or bucket-range sharded)
-        self._ox_g = self._place(self.ox, self._replicated)
-        self._oy_g = self._place(self.oy, self._replicated)
+        # pre-place the static operands once (replicated offsets, planar
+        # when fused; table replicated or bucket-range sharded)
+        if self.fused:
+            self._ox_g = self._place(base.ox_pl, self._replicated)
+            self._oy_g = self._place(base.oy_pl, self._replicated)
+        else:
+            self._ox_g = self._place(self.ox, self._replicated)
+            self._oy_g = self._place(self.oy, self._replicated)
         self._epoch_fns = {}  # hit_cap -> compiled epoch fn
         if shard_baby_table:
             spec = st.shard_table(self.baby, self.n_chips)
@@ -135,13 +207,30 @@ class MeshSolver(ssolver.Solver):
         compile on demand when an overflow re-run needs them)."""
         if hit_cap not in self._epoch_fns:
             cfg = self.cfg
-            kw = dict(chunk=cfg.chunk, hit_cap=hit_cap)
-            if self.shard_baby_table:
+            if self.fused:
+                kw = dict(
+                    hit_cap=hit_cap, htsz=cfg.htsz, chunk_c=cfg.chunk_c,
+                    lanes_w=cfg.lanes_w, interpret=self._interpret,
+                )
+                if self.shard_baby_table:
+                    fn = _epoch_fn_sharded_fused(
+                        self.mesh, self._spec,
+                        routing=self.probe_routing, **kw
+                    )
+                else:
+                    fn = _epoch_fn_replicated_fused(
+                        self.mesh, n_split=cfg.n_split, **kw
+                    )
+            elif self.shard_baby_table:
                 fn = _epoch_fn_sharded_table(
-                    self.mesh, self._spec, routing=self.probe_routing, **kw
+                    self.mesh, self._spec, routing=self.probe_routing,
+                    chunk=cfg.chunk, hit_cap=hit_cap,
                 )
             else:
-                fn = _epoch_fn_replicated(self.mesh, htsz=cfg.htsz, **kw)
+                fn = _epoch_fn_replicated(
+                    self.mesh, htsz=cfg.htsz, chunk=cfg.chunk,
+                    hit_cap=hit_cap,
+                )
             self._epoch_fns[hit_cap] = fn
         return self._epoch_fns[hit_cap]
 

@@ -157,23 +157,28 @@ def test_alltoall_probe_matches_replicated(base_solver):
 def test_alltoall_overflow_conservative(base_solver):
     """Probes that exceed the routing capacity are marked FOUND, never
     silently dropped (correctness is preserved; the host checker weeds
-    them out)."""
+    them out). All probes are aimed at ONE shard's bucket range so each
+    chip's 256-probe stream overflows its cap=128 destination slots:
+    exactly the first cap (in sorted order) are answered exactly (False —
+    they are non-members) and the remaining m - cap are forced True."""
     mesh = pmesh.make_mesh(8)
     table = base_solver.baby
     spec = st.shard_table(table, 8)
-    # capacity slack tiny -> everything overflows except the first slot
-    probe = st.make_alltoall_probe(spec, slack=0.0)
+    probe = st.make_alltoall_probe(spec, slack=0.0)  # cap floors at 128
     from jax.sharding import PartitionSpec as P
     try:
         from jax import shard_map
     except ImportError:
         from jax.experimental.shard_map import shard_map
 
-    ks = [int(x) for x in np.random.default_rng(3).integers(
-        1 << 50, 1 << 60, size=2048)]  # none in the table
-    xs = [ecpy.mul(k)[0] for k in ks]
-    xl = jnp.asarray(F.to_limbs_batch(xs))
-    hi, lo = F.x_prefix64(xl)
+    rng = np.random.default_rng(3)
+    htsz, bps = spec.htsz, spec.buckets_per_shard
+    # 64-bit prefixes whose bucket (top htsz bits) lies in shard 0's range
+    pre = (
+        rng.integers(0, bps, size=2048).astype(np.uint64) << np.uint64(64 - htsz)
+    ) | rng.integers(1, 1 << 50, size=2048).astype(np.uint64)
+    hi = jnp.asarray((pre >> np.uint64(32)).astype(np.uint32))
+    lo = jnp.asarray(pre.astype(np.uint32))
     f = jax.jit(shard_map(
         probe, mesh=mesh,
         in_specs=(P("chips"), P("chips"), P("chips")),
@@ -181,11 +186,134 @@ def test_alltoall_overflow_conservative(base_solver):
         check_vma=False,
     ))
     got = np.asarray(f(hi, lo, jnp.asarray(spec.dense)))
-    # slack=0 still routes cap=128 per destination; with 256 probes/chip
-    # over 8 owners nothing should overflow -- but if any did, they must
-    # read True. Either way no probe may be silently false-negative:
-    exact = np.asarray(tbl.probe_x(xl, table))
-    assert (got | ~exact).all() or (got >= exact).all()
+    per_chip = got.reshape(8, 256).sum(axis=1)
+    # per chip: 256 probes -> one destination with cap 128 -> 128 routed
+    # (all miss: random discs) + 128 overflowed (forced found)
+    np.testing.assert_array_equal(per_chip, np.full(8, 128))
+
+
+# ---------------------------------------------------------------------------
+# Fused (Pallas) mesh path: the shard_map body must run the same epoch
+# kernels as the single-chip hot path (round-3 review item 1).
+
+
+@pytest.fixture(scope="module")
+def fused_base_solver():
+    cfg = smod.SolverConfig(
+        w=64, htsz=6, n_offsets=256, jobs_per_epoch=2, fused=True,
+        chunk_c=2, lanes_w=128, table_tile=32, hit_cap=128,
+    )
+    return smod.Solver(cfg)
+
+
+def test_mesh_fused_solve_replicated(fused_base_solver):
+    mesh = pmesh.make_mesh(8)
+    ms = striped.MeshSolver(fused_base_solver, mesh)
+    assert ms.fused, "mesh path must adopt the base solver's fused mode"
+    key = 99991
+    res = ms.solve(ecpy.mul(key), key - 50000, key + 50000)
+    assert res.key == key
+
+
+def test_mesh_fused_sharded_alltoall(fused_base_solver):
+    mesh = pmesh.make_mesh(8)
+    ms = striped.MeshSolver(fused_base_solver, mesh, shard_baby_table=True,
+                            probe_routing="all_to_all")
+    assert ms.fused
+    key = 99991
+    res = ms.solve(ecpy.mul(key), key - 50000, key + 50000)
+    assert res.key == key
+
+
+def test_mesh_fused_matches_xla_mesh_epoch(fused_base_solver):
+    """One super-epoch through the fused mesh body and the row-major XLA
+    mesh body must produce identical hit sets (independent-paths check,
+    SURVEY.md §4)."""
+    import dataclasses
+
+    mesh = pmesh.make_mesh(8)
+    ms_f = striped.MeshSolver(fused_base_solver, mesh)
+    cfg_x = dataclasses.replace(fused_base_solver.cfg, fused=False)
+    base_x = smod.Solver(cfg_x, baby=fused_base_solver.baby)
+    ms_x = striped.MeshSolver(base_x, mesh)
+    assert ms_f.fused and not ms_x.fused
+    q0 = ecpy.mul(99991 - 70000)
+    _, buf_f, cnt_f, _ = ms_f._dispatch(q0, 0)
+    _, buf_x, cnt_x, _ = ms_x._dispatch(q0, 0)
+    np.testing.assert_array_equal(
+        np.asarray(cnt_f)[:8], np.asarray(cnt_x)[:8]
+    )
+    bf = np.asarray(buf_f).reshape(-1, ms_f.cfg.hit_cap)[:8]
+    bx = np.asarray(buf_x).reshape(-1, ms_x.cfg.hit_cap)[:8]
+    for chip in range(8):
+        assert set(bf[chip].tolist()) == set(bx[chip].tolist())
+
+
+# ---------------------------------------------------------------------------
+# HitOverflow re-dispatch (round-3 review item 5b): epochs with more hits
+# than the buffer capacity must transparently re-run with a larger cap.
+
+
+def _landing_prefix_table(solver, q0, n_jobs, htsz, window):
+    """Host-compute every ± landing X prefix of the first (super)epoch and
+    pack them into a table: every device probe then hits, flooding the
+    hit buffer."""
+    cfg = solver.cfg
+    cx, cy, cinf = solver.epoch_centers(q0, 0, n_jobs)
+    mx = F.from_limbs_batch(np.asarray(cx))
+    my = F.from_limbs_batch(np.asarray(cy))
+    s_g = ecpy.mul(cfg.stride)
+    pres = set()
+    for t in range(n_jobs):
+        if bool(np.asarray(cinf)[t]):
+            continue
+        m_pt = (int(mx[t]), int(my[t]))
+        for j in range(1, cfg.n_offsets + 1):
+            o_pt = ecpy.mul(j, s_g)
+            for pt in (ecpy.add(m_pt, o_pt), ecpy.sub(m_pt, o_pt)):
+                if pt is not None:
+                    pres.add(pt[0] & ((1 << 64) - 1))
+    return tbl.pack_table(
+        np.array(sorted(pres), dtype=np.uint64), htsz, window
+    )
+
+
+def test_solver_hit_overflow_redispatch():
+    cfg = smod.SolverConfig(
+        w=64, htsz=6, n_offsets=8, jobs_per_epoch=2, window=16, chunk=8,
+        hit_cap=4, table_tile=32,
+    )
+    s0 = smod.Solver(cfg)
+    pub = ecpy.mul(987654321)
+    pk = 1000
+    q0 = ecpy.sub(pub, ecpy.mul(pk))
+    baby = _landing_prefix_table(s0, q0, cfg.jobs_per_epoch, cfg.htsz, 16)
+    s = smod.Solver(cfg, baby=baby)
+    res = s.solve(pub, pk, pk + cfg.keys_per_epoch - 1, max_epochs=1)
+    assert res.key is None  # no real key: every hit verified and rejected
+    assert res.hits_checked > cfg.hit_cap  # the overflow epoch was re-run
+
+
+def test_mesh_hit_overflow_redispatch():
+    cfg = smod.SolverConfig(
+        w=64, htsz=6, n_offsets=8, jobs_per_epoch=2, window=16, chunk=8,
+        hit_cap=4, table_tile=32,
+    )
+    s0 = smod.Solver(cfg)
+    mesh = pmesh.make_mesh(8)
+    ms0 = striped.MeshSolver(s0, mesh)
+    pub = ecpy.mul(987654321)
+    pk = 1000
+    q0 = ecpy.sub(pub, ecpy.mul(pk))
+    baby = _landing_prefix_table(
+        ms0, q0, ms0._jobs_per_super, cfg.htsz, 16
+    )
+    s = smod.Solver(cfg, baby=baby)
+    ms = striped.MeshSolver(s, mesh)
+    res = ms.solve(pub, pk, pk + ms._jobs_per_super * cfg.jobs_span
+                   * cfg.stride - 1, max_epochs=1)
+    assert res.key is None
+    assert res.hits_checked > 8 * cfg.hit_cap
 
 
 def test_mesh_solve_alltoall(base_solver):
