@@ -64,6 +64,45 @@ def test_duplicate_prefixes_kept():
     assert sorted(tab.pos_sorted[:2].tolist()) == [1, 2]
 
 
+def test_streamed_build_matches_host():
+    """The incremental-scatter big-w builder must produce the same CSR
+    offsets and per-bucket entry sets as the host pack, across MULTIPLE
+    chunk flushes (the cross-chunk rank accumulation is the subtle part)."""
+    w, htsz = 256, 6
+    ref = T.build_baby_table(w, htsz, window=16, tile=32)
+    st = T.build_baby_table_streamed(w, htsz, window=16, tile=32, chunk=64)
+    assert st.w == w and st.htsz == htsz
+    np.testing.assert_array_equal(st.offsets, ref.offsets)
+    dr = np.sort(np.asarray(ref.dense), axis=1)
+    ds = np.sort(np.asarray(st.dense)[:, : ref.window], axis=1)
+    np.testing.assert_array_equal(ds, dr)
+    # beyond-window slots must stay empty
+    assert (np.asarray(st.dense)[:, ref.window:] == T.DENSE_FILL).all()
+
+
+def test_streamed_probe_members_and_nonmembers(rng):
+    w, htsz = 256, 6
+    st = T.build_baby_table_streamed(w, htsz, window=16, tile=32, chunk=64)
+    xs = [ecpy.mul(r)[0] for r in range(1, w + 1)]
+    xl = jnp.asarray(F.to_limbs_batch(xs))
+    assert np.asarray(T.probe_x(xl, st)).all()
+    ks = [int(rng.integers(w + 1, 1 << 60)) for _ in range(64)]
+    xl = jnp.asarray(F.to_limbs_batch([ecpy.mul(k)[0] for k in ks]))
+    assert not np.asarray(T.probe_x(xl, st)).any()
+
+
+def test_streamed_pos_dense_lookup():
+    """The host position mirror must answer lookup_positions exactly —
+    it is what the checker walks in place of a CSR at big w
+    (models/table.BabyTable.lookup_positions)."""
+    w, htsz = 256, 6
+    st = T.build_baby_table_streamed(w, htsz, window=16, tile=32, chunk=64)
+    assert st.pos_dense is not None and st.sorted_pre is None
+    for r in [1, 2, 63, 64, 65, 200, 256]:
+        assert st.lookup_positions(ecpy.mul(r)[0]) == [r]
+    assert st.lookup_positions(ecpy.mul(w + 7)[0]) == []
+
+
 def test_probe_respects_bucket_boundaries(rng):
     # adjacent-bucket entries with equal disc bits must not false-positive
     # via the fixed window overrun: craft prefixes in two adjacent buckets.
