@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="epochs in flight before a host sync")
     p.add_argument("--devices", type=int, default=None,
                    help="number of chips to use (default: all)")
+    p.add_argument("--device-ids", "-d", default=None,
+                   help="comma-separated chip indices to use (reference "
+                   "-d 1,2,3 device selection); overrides --devices")
     p.add_argument("--shard-table", action="store_true",
                    help="shard the baby table across chips (large-w mode)")
     p.add_argument("--infile", help="file with one pubkey per line")
@@ -85,28 +88,42 @@ def main(argv=None) -> int:
     from .utils import artifacts, ecpy
 
     if args.tune:
-        t = tuner.tune()
-        print(
-            f"suggested: --w {t.w} --htsz {t.htsz} "
-            f"--n-offsets {t.n_offsets} --jobs-per-epoch {t.jobs_per_epoch}\n"
-            f"  table ~{t.est_table_bytes / 2**20:.0f} MiB, offsets "
-            f"~{t.est_offsets_bytes / 2**20:.0f} MiB, transients "
-            f"~{t.est_transient_bytes / 2**20:.0f} MiB"
-        )
+        import jax
+
+        for i, d in enumerate(jax.devices()):
+            print(f"device {i}: {d}")
+        print(tuner.tune().report())
         return 0
 
     from .models import table as tbl
 
     if args.gen_only:
+        import jax
+
         w = codecs.parse_w(args.w)
         window = args.window or tbl.DEVICE_WINDOW
         htsz = args.htsz if args.htsz is not None else tbl.pick_htsz(w, window)
         if not args.quiet:
             print(f"generating artifacts: w={w} htsz={htsz} "
                   f"-> {args.cache_dir}")
-        artifacts.get_baby_table(
-            w, htsz, window=window, cache_dir=args.cache_dir
-        )
+        path = artifacts.baby_table_path(args.cache_dir, w, htsz, window)
+        if jax.default_backend() == "tpu":
+            # TPU-accelerated generation (reference onlygen1_9_6File.pb is
+            # CPU-only; here the table builds on-chip and only the packed
+            # arrays come back for the artifact)
+            cfg = smod.SolverConfig(w=w, htsz=htsz, window=window)
+            baby = smod.build_table(cfg)
+            artifacts.save_baby_table(baby, path)
+            # round-trip + random-oracle verify the artifact we just wrote
+            baby = artifacts.load_baby_table(path)
+        elif os.path.exists(path):
+            baby = artifacts.load_baby_table(path, window=window)
+        else:
+            baby = artifacts.get_baby_table(
+                w, htsz, window=window, cache_dir=args.cache_dir
+            )
+        if not args.quiet:
+            print(tbl.table_stats(baby))
         print("finished ok")
         return 0
 
@@ -127,7 +144,12 @@ def main(argv=None) -> int:
     window = args.window or tbl.DEVICE_WINDOW
     htsz = args.htsz if args.htsz is not None else tbl.pick_htsz(w, window)
     n_offsets = args.n_offsets or min(1 << 18, max(256, w // 4))
-    n_devices = args.devices or 0
+    device_ids = None
+    if args.device_ids:
+        device_ids = [int(x) for x in args.device_ids.split(",") if x != ""]
+        n_devices = len(device_ids)
+    else:
+        n_devices = args.devices or 0
 
     cfg = smod.SolverConfig(
         w=w, htsz=htsz, n_offsets=n_offsets,
@@ -168,9 +190,17 @@ def main(argv=None) -> int:
         # reference (1_9_7File.pb:4959-4963)
         os.unlink(args.win_file)
 
-    if not args.quiet:
-        print(f"building baby table: w={w} htsz={htsz} ...")
     import jax
+
+    if not args.quiet:
+        # device report, the reference's startup GPU scan
+        # (retGPUcount, 1_9_7File.pb:766-862)
+        for i, d in enumerate(jax.devices()):
+            mark = ""
+            if device_ids is not None:
+                mark = "  [selected]" if i in device_ids else ""
+            print(f"device {i}: {d}{mark}")
+        print(f"building baby table: w={w} htsz={htsz} ...")
 
     if jax.default_backend() == "tpu":
         # on-device pack: regeneration beats any transfer on TPU
@@ -179,14 +209,18 @@ def main(argv=None) -> int:
         baby = artifacts.get_baby_table(
             w, htsz, window=window, cache_dir=args.cache_dir
         )
+    if not args.quiet:
+        print(tbl.table_stats(baby))
     s = smod.Solver(cfg, baby=baby)
 
+    n_chips = 1
     if n_devices > 1 or args.shard_table:
         from .parallel import mesh as pmesh, striped
-        m = pmesh.make_mesh(args.devices)
+        m = pmesh.make_mesh(n_devices or None, device_ids=device_ids)
         # MeshSolver shares Solver's loop: resume/checkpoint/progress all
         # work identically on the mesh path
         s = striped.MeshSolver(s, m, shard_baby_table=args.shard_table)
+        n_chips = s.n_chips
 
     writer = ckpt.CheckpointWriter(
         args.checkpoint_file, fingerprint, args.checkpoint_interval
@@ -209,13 +243,16 @@ def main(argv=None) -> int:
 
         def progress(done, total, steps, dt, _w=w):
             # rate display with the reference's semantics
-            # (1_9_7File.pb:5131-5135): giant-steps/s and x2w effective
+            # (1_9_7File.pb:5119-5142): per-chip and total giant-steps/s,
+            # x2w effective keys/s exponent
             if args.quiet or dt <= 0:
                 return
             rate = steps / dt
+            per_chip = (f"{rate / n_chips / 1e6:.2f}x{n_chips} "
+                        if n_chips > 1 else "")
             print(
                 f"\r  epoch {done}/{total}  "
-                f"{rate / 1e6:.2f} Mgsteps/s  "
+                f"{per_chip}{rate / 1e6:.2f} Mgsteps/s  "
                 f"(~2^{int(rate * 2 * _w).bit_length()} keys/s)",
                 end="", flush=True,
             )

@@ -116,6 +116,54 @@ class BabyTable:
         return [int(v) for v, m in zip(p, d == np.uint32(disc)) if m]
 
 
+@dataclasses.dataclass
+class TableStats:
+    """Build-quality summary, the analog of the reference's
+    HashTableSammary printout (total/unique/collisions/max bucket,
+    1_9_7File.pb:2641-2656)."""
+
+    entries: int
+    buckets: int
+    max_bucket: int
+    mean_load: float
+    empty_buckets: int
+    window: int
+    # duplicate (bucket, disc) pairs — probe-indistinguishable entries the
+    # checker disambiguates by walking all positions; None when the build
+    # path doesn't keep a sorted disc stream (streamed big-w builds)
+    dup_pairs: Optional[int]
+
+    def __str__(self):
+        dup = "n/a" if self.dup_pairs is None else str(self.dup_pairs)
+        return (
+            f"table: {self.entries} entries in 2^"
+            f"{(self.buckets - 1).bit_length()} buckets, load "
+            f"{self.mean_load:.1f} avg / {self.max_bucket} max "
+            f"(window {self.window}), {self.empty_buckets} empty, "
+            f"{dup} duplicate keys"
+        )
+
+
+def table_stats(t: BabyTable) -> TableStats:
+    counts = np.diff(np.asarray(t.offsets).astype(np.int64))
+    dup = None
+    if t.disc_sorted is not None:
+        sd = np.asarray(t.disc_sorted)
+        same = sd[1:] == sd[:-1]
+        b = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+        same &= b[1:] == b[:-1]
+        dup = int(same.sum())
+    return TableStats(
+        entries=int(counts.sum()),
+        buckets=counts.size,
+        max_bucket=int(counts.max()) if counts.size else 0,
+        mean_load=float(counts.mean()) if counts.size else 0.0,
+        empty_buckets=int((counts == 0).sum()),
+        window=t.window,
+        dup_pairs=dup,
+    )
+
+
 def bucket_disc(hi, lo, htsz: int):
     """(hi32, lo32) prefix -> (bucket, disc32).
 

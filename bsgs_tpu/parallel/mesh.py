@@ -54,11 +54,16 @@ def init_distributed(
     jax.distributed.initialize(**kw)
 
 
-def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+def make_mesh(n_devices: int | None = None, devices=None,
+              device_ids=None) -> Mesh:
     """1-D mesh over the first n_devices (default: all devices, which
-    spans every process after init_distributed)."""
+    spans every process after init_distributed). ``device_ids`` selects
+    specific chips by index — the reference's ``-d 1,2,3`` GPU selection
+    (1_9_7File.pb:4772-4815)."""
     if devices is None:
         devices = jax.devices()
-    if n_devices is not None:
+    if device_ids is not None:
+        devices = [devices[i] for i in device_ids]
+    elif n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (CHIPS_AXIS,))

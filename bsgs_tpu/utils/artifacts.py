@@ -24,33 +24,59 @@ def baby_table_path(cache_dir: str, w: int, htsz: int, window: int = 0) -> str:
     return os.path.join(cache_dir, f"baby_w{w}_h{htsz}_v3.npz")
 
 
-def save_baby_table(table: tbl.BabyTable, path: str) -> None:
+def _atomic_savez(path: str, **arrays) -> None:
     """Atomic write (temp + rename), like the reference's checkpoint
-    discipline (1_9_7File.pb:3897-3931). Only the sorted host arrays are
-    persisted; the device dense matrix is re-derived on load."""
-    if table.sorted_pre is None:
-        raise ValueError(
-            "device-built tables are not persisted: on-device regeneration "
-            "is faster than any transfer (models/table."
-            "build_baby_table_device)"
-        )
+    discipline (1_9_7File.pb:3897-3931)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
                                suffix=".tmp")
     try:
         with os.fdopen(fd, "wb") as f:
-            np.savez(
-                f,
-                w=table.w,
-                htsz=table.htsz,
-                window=table.window,
-                sorted_pre=table.sorted_pre,
-                sorted_pos=table.pos_sorted,
-            )
+            np.savez(f, **arrays)
         os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+
+
+def save_baby_table(table: tbl.BabyTable, path: str) -> None:
+    """Persist any table flavor (the reference's Save_HTpacked role,
+    1_9_7File.pb:3645-3760):
+
+    - host builds (full 64-bit sorted prefixes): prefix stream + positions;
+      any window/CSR re-derives on load.
+    - device builds (on-chip CSR, htsz+32-bit keys): offsets + sorted
+      (disc, position) streams — the lower 32-htsz prefix bits never
+      existed on the host, and the checker verifies hits exactly anyway.
+    - streamed big-w builds: the dense bucket matrix + host position
+      mirror verbatim (no CSR was ever materialized).
+    """
+    if table.sorted_pre is not None:
+        _atomic_savez(
+            path,
+            kind="host",
+            w=table.w, htsz=table.htsz, window=table.window,
+            sorted_pre=table.sorted_pre,
+            sorted_pos=table.pos_sorted,
+        )
+    elif table.pos_dense is not None:
+        _atomic_savez(
+            path,
+            kind="streamed",
+            w=table.w, htsz=table.htsz, window=table.window,
+            dense=np.asarray(table.dense),
+            pos_dense=table.pos_dense,
+            offsets=np.asarray(table.offsets),
+        )
+    else:
+        _atomic_savez(
+            path,
+            kind="device",
+            w=table.w, htsz=table.htsz, window=table.window,
+            offsets=np.asarray(table.offsets),
+            disc_sorted=np.asarray(table.disc_sorted),
+            pos_sorted=np.asarray(table.pos_sorted),
+        )
 
 
 def load_baby_table(path: str, spot_checks: int = 8,
@@ -58,26 +84,58 @@ def load_baby_table(path: str, spot_checks: int = 8,
     """Load + random-oracle verify (reference checkHTpackFile,
     1_9_7File.pb:3101-3134): random r in [1, w], recompute r*G exactly,
     require the stored prefix to match. ``window`` is the caller's
-    requested minimum row width (the dense matrix re-derives on load, so a
-    cache hit must still honor a larger request)."""
+    requested minimum row width (host/device artifacts re-derive the dense
+    matrix on load, so a cache hit must still honor a larger request)."""
     import jax.numpy as jnp
     from . import native
 
     z = np.load(path)
     htsz = int(z["htsz"])
-    sorted_pre = z["sorted_pre"]
-    offsets, disc, maxb = native.csr_pack(sorted_pre, htsz)
-    window = tbl.fit_window(maxb, max(window, int(z["window"])))
-    table = tbl.BabyTable(
-        w=int(z["w"]),
-        htsz=htsz,
-        window=window,
-        offsets=offsets,
-        disc_sorted=disc,
-        pos_sorted=z["sorted_pos"],
-        dense=jnp.asarray(tbl.dense_from_csr(offsets, disc, window)),
-        sorted_pre=sorted_pre,
-    )
+    kind = str(z["kind"]) if "kind" in z else "host"
+    if kind == "host":
+        sorted_pre = z["sorted_pre"]
+        offsets, disc, maxb = native.csr_pack(sorted_pre, htsz)
+        window = tbl.fit_window(maxb, max(window, int(z["window"])))
+        table = tbl.BabyTable(
+            w=int(z["w"]),
+            htsz=htsz,
+            window=window,
+            offsets=offsets,
+            disc_sorted=disc,
+            pos_sorted=z["sorted_pos"],
+            dense=jnp.asarray(tbl.dense_from_csr(offsets, disc, window)),
+            sorted_pre=sorted_pre,
+        )
+    elif kind == "streamed":
+        table = tbl.BabyTable(
+            w=int(z["w"]),
+            htsz=htsz,
+            window=int(z["window"]),
+            offsets=z["offsets"],
+            disc_sorted=None,
+            pos_sorted=None,
+            dense=jnp.asarray(z["dense"]),
+            sorted_pre=None,
+            pos_dense=z["pos_dense"],
+        )
+    else:  # device CSR
+        offsets = z["offsets"]
+        disc = z["disc_sorted"]
+        counts = np.diff(offsets.astype(np.int64))
+        window = tbl.fit_window(
+            int(counts.max()) if counts.size else 0,
+            max(window, int(z["window"])),
+        )
+        table = tbl.BabyTable(
+            w=int(z["w"]),
+            htsz=htsz,
+            window=window,
+            offsets=offsets,
+            disc_sorted=disc,
+            pos_sorted=z["pos_sorted"],
+            dense=jnp.asarray(tbl.dense_from_csr(offsets, disc, window)),
+            sorted_pre=None,
+        )
     rng = np.random.default_rng(0xB5B5)
     for _ in range(min(spot_checks, table.w)):
         r = int(rng.integers(1, table.w + 1))

@@ -1,11 +1,33 @@
-"""Auto-tuner: suggest solver geometry from device memory.
+"""Auto-tuner: suggest a complete solver flag set from device memory.
 
-Equivalent of the reference's Tune (1_9_7File.pb:324-431), which sizes
--t/-b/-p/-w/-htsz against free VRAM. Here the knobs are (w, htsz,
-n_offsets, jobs_per_epoch) against HBM, with the same resource model:
+Equivalent of the reference's Tune (1_9_7File.pb:324-431), which grows
+-t/-b/-p until per-thread rounds balance, sizes -w/-htsz against free
+VRAM, and prints three host-RAM estimates (R1-R3). Here the knobs are the
+full CLI surface (w, htsz, window, n_offsets, jobs_per_epoch, n_split,
+pipeline) sized against HBM with the ACTUAL device layout of this
+implementation (measured on TPU v5e, PROFILE_r03/r04):
 
-  HBM cost ~= offsets (2 * N * 64 B) + table (w*4 + 2^htsz*4 B)
-              + transient batch intermediates (~N * 64 B * ~8).
+  dense table      2^htsz * window * 4 B   (window=128 rows; htsz from
+                                             pick_htsz => ~8 B per entry)
+  giant offsets    2 * N * 64 B             (planar x|y, 16 u32 limbs)
+  epoch transients ~T * N * 168 B           (fwd prefix planes 64 B,
+                                             bwd key rows 32 B, probe
+                                             masks/gathers ~72 B; only
+                                             `pipeline` epochs in flight
+                                             share one compiled buffer)
+  build transients device pack sorts (hi, lo, pos): ~24 B/key x2 sort
+                   buffers; the streamed builder replaces this with one
+                   chunk (2^24 keys) of transients, which is why it is
+                   selected automatically at w >= STREAMED_MIN_W.
+
+Host-RAM estimates (the reference's R1-R3, 1_9_7File.pb:394-425):
+  streamed builds keep a (2^htsz, window) uint32 position mirror on the
+  host for the checker; host (CPU-backend) builds additionally hold the
+  full 8 B/key sorted prefix array during packing.
+
+The device query degrades gracefully: TPU memory_stats() is unavailable
+through some transports (it returns None on the axon tunnel used for
+remote bench runs), so v5e's 16 GiB is assumed unless told otherwise.
 """
 
 from __future__ import annotations
@@ -15,19 +37,58 @@ import dataclasses
 import jax
 
 
+# models/solver.build_table switches to the incremental-scatter streamed
+# builder at this size (keeps peak HBM at dense + one chunk).
+STREAMED_MIN_W = 1 << 28
+
+# Fraction of HBM the steady-state scan working set may use; the rest
+# covers XLA scratch, hit buffers, and the build-time peak.
+_SCAN_BUDGET = 0.70
+
+
 @dataclasses.dataclass
 class TuneResult:
     w: int
     htsz: int
+    window: int
     n_offsets: int
     jobs_per_epoch: int
+    n_split: int
+    pipeline: int
+    streamed_build: bool
     est_table_bytes: int
     est_offsets_bytes: int
     est_transient_bytes: int
+    est_build_peak_bytes: int
+    est_host_bytes: int
 
     @property
-    def keys_per_job(self) -> int:
-        return (2 * self.n_offsets + 1) * 2 * self.w
+    def keys_per_epoch(self) -> int:
+        return (2 * self.n_offsets + 1) * self.jobs_per_epoch * 2 * self.w
+
+    def flags(self) -> str:
+        return (
+            f"--w {self.w} --htsz {self.htsz} --window {self.window} "
+            f"--n-offsets {self.n_offsets} "
+            f"--jobs-per-epoch {self.jobs_per_epoch} "
+            f"--n-split {self.n_split} --pipeline {self.pipeline}"
+        )
+
+    def report(self) -> str:
+        mib = 1 << 20
+        build = ("streamed (incremental scatter)"
+                 if self.streamed_build else "direct device pack")
+        return (
+            f"suggested: {self.flags()}\n"
+            f"  device: table {self.est_table_bytes / mib:.0f} MiB, "
+            f"offsets {self.est_offsets_bytes / mib:.0f} MiB, "
+            f"epoch transients {self.est_transient_bytes / mib:.0f} MiB, "
+            f"build peak {self.est_build_peak_bytes / mib:.0f} MiB "
+            f"[{build}]\n"
+            f"  host: ~{self.est_host_bytes / mib:.0f} MiB "
+            f"(checker position mirror / CSR)\n"
+            f"  keys per epoch: 2^{self.keys_per_epoch.bit_length() - 1}"
+        )
 
 
 def device_memory_bytes(device=None) -> int:
@@ -35,43 +96,72 @@ def device_memory_bytes(device=None) -> int:
     stats = getattr(d, "memory_stats", lambda: None)()
     if stats and "bytes_limit" in stats:
         return int(stats["bytes_limit"])
-    return 16 * (1 << 30)  # v5e default
+    return 16 * (1 << 30)  # v5e default (memory_stats is None on axon)
 
 
-def tune(mem_bytes: int | None = None, range_bits: int | None = None
-         ) -> TuneResult:
-    """Pick a balanced geometry for the available HBM.
+def tune(mem_bytes: int | None = None, range_bits: int | None = None,
+         window: int = 128) -> TuneResult:
+    """Pick the largest safe geometry for the available HBM.
 
-    Strategy (mirrors the reference's heuristic of growing the table until
-    it fills memory, then sizing the batch): spend ~35% of HBM on the baby
-    table, ~25% on offsets, leave the rest for transients; equalize baby
-    (w) and giant (N per job * jobs) scale; cap w by range when given.
+    Strategy mirrors the reference's (grow the table until memory binds,
+    then size the batch): w doubles while the steady-state working set —
+    dense table + planar offsets + one epoch's transients — fits the scan
+    budget; the build path flips to the streamed builder at
+    STREAMED_MIN_W so the build-time peak never binds before the scan
+    working set does. n_offsets / jobs_per_epoch / n_split / pipeline are
+    the measured-optimal epoch shape from the v5e profiles (PROFILE_r03):
+    gather-issue-bound probes want n_split independent streams and a
+    pipeline >= 3 to hide host drains; larger N only adds HBM pressure.
     """
+    from ..models import table as tbl
+
     if mem_bytes is None:
         mem_bytes = device_memory_bytes()
-    table_budget = int(mem_bytes * 0.35)
-    offsets_budget = int(mem_bytes * 0.25)
+    budget = int(mem_bytes * _SCAN_BUDGET)
 
-    # table: w * 4 (disc) + 2^htsz * 4 (offsets); htsz = log2(w) - 2
+    n_offsets = 1 << 18
+    jobs = 8
+    offsets_b = 2 * n_offsets * 64
+    transient_b = jobs * n_offsets * 168
+
     w = 1 << 20
-    while 2 * (w * 4 + ((w >> 2) * 4)) <= table_budget and w < (1 << 31):
-        w <<= 1
+    while True:
+        w2 = w << 1
+        htsz2 = tbl.pick_htsz(w2, window)
+        table_b2 = (1 << htsz2) * window * 4
+        build_peak2 = table_b2 + (
+            (1 << 24) * 24 * 2 if w2 >= STREAMED_MIN_W else w2 * 24 * 2
+        )
+        if table_b2 + offsets_b + transient_b > budget:
+            break
+        if build_peak2 + offsets_b > mem_bytes:
+            break
+        if w2 > (1 << 32):
+            break
+        w = w2
     if range_bits is not None:
         # no point making the baby table bigger than sqrt(range)
         w = min(w, 1 << max(10, (range_bits + 1) // 2))
-    htsz = max(4, min(28, w.bit_length() - 3))
 
-    n = 1 << 16
-    while 2 * n * 64 * 2 <= offsets_budget and n < (1 << 22):
-        n <<= 1
-    n >>= 1
-    n = max(1 << 12, n)
+    htsz = tbl.pick_htsz(w, window)
+    streamed = w >= STREAMED_MIN_W
+    table_b = (1 << htsz) * window * 4
+    build_peak = table_b + (
+        (1 << 24) * 24 * 2 if streamed else w * 24 * 2
+    )
+    host_b = (1 << htsz) * window * 4 if streamed else w * 12
     return TuneResult(
         w=w,
         htsz=htsz,
-        n_offsets=n,
-        jobs_per_epoch=16,
-        est_table_bytes=w * 4 + (1 << htsz) * 4,
-        est_offsets_bytes=2 * n * 64,
-        est_transient_bytes=n * 64 * 8,
+        window=window,
+        n_offsets=n_offsets,
+        jobs_per_epoch=jobs,
+        n_split=8,
+        pipeline=3,
+        streamed_build=streamed,
+        est_table_bytes=table_b,
+        est_offsets_bytes=offsets_b,
+        est_transient_bytes=transient_b,
+        est_build_peak_bytes=build_peak,
+        est_host_bytes=host_b,
     )

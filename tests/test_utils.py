@@ -53,6 +53,76 @@ def test_artifact_roundtrip(tmp_path):
     )
 
 
+def test_artifact_roundtrip_device_kind(tmp_path):
+    """Device-built tables (no host prefix stream) persist their CSR and
+    round-trip with spot verification (round-3 item 7: --gen-only on TPU
+    must produce a reusable artifact)."""
+    table = tbl.build_baby_table_device(64, 5, window=16, tile=1 << 11)
+    assert table.sorted_pre is None
+    path = str(tmp_path / "dev.npz")
+    artifacts.save_baby_table(table, path)
+    loaded = artifacts.load_baby_table(path, spot_checks=32)
+    assert loaded.w == 64 and loaded.htsz == 5
+    np.testing.assert_array_equal(
+        np.asarray(loaded.offsets), np.asarray(table.offsets)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded.dense)[:, :16], np.asarray(table.dense)[:, :16]
+    )
+    for r in [1, 7, 64]:
+        assert r in loaded.lookup_positions(ecpy.mul(r)[0])
+
+
+def test_artifact_roundtrip_streamed_kind(tmp_path):
+    table = tbl.build_baby_table_streamed(64, 5, window=16, tile=16,
+                                          chunk=32)
+    assert table.pos_dense is not None
+    path = str(tmp_path / "st.npz")
+    artifacts.save_baby_table(table, path)
+    loaded = artifacts.load_baby_table(path, spot_checks=32)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.dense), np.asarray(table.dense)
+    )
+    np.testing.assert_array_equal(loaded.pos_dense, table.pos_dense)
+    for r in [1, 7, 64]:
+        assert loaded.lookup_positions(ecpy.mul(r)[0]) == [r]
+
+
+def test_table_stats():
+    table = tbl.build_baby_table(64, 5, window=16, tile=16)
+    st = tbl.table_stats(table)
+    assert st.entries == 64
+    assert st.buckets == 32
+    assert st.max_bucket >= 2  # 64 keys over 32 buckets
+    assert st.dup_pairs == 0
+    assert "64 entries" in str(st)
+    # streamed build: no sorted disc stream -> dup count is n/a
+    st2 = tbl.table_stats(
+        tbl.build_baby_table_streamed(64, 5, window=16, tile=16, chunk=32)
+    )
+    assert st2.dup_pairs is None and st2.entries == 64
+
+
+def test_tuner_full_flagset():
+    t = tuner.tune(mem_bytes=16 << 30)
+    f = t.flags()
+    for flag in ["--w", "--htsz", "--window", "--n-offsets",
+                 "--jobs-per-epoch", "--n-split", "--pipeline"]:
+        assert flag in f
+    assert t.streamed_build == (t.w >= tuner.STREAMED_MIN_W)
+    assert t.est_build_peak_bytes + t.est_offsets_bytes <= 16 << 30
+    assert "host" in t.report()
+
+
+def test_make_mesh_device_ids():
+    from bsgs_tpu.parallel import mesh as pmesh
+
+    m = pmesh.make_mesh(device_ids=[3, 1])
+    assert m.devices.size == 2
+    assert m.devices.flatten()[0].id == 3
+    assert m.devices.flatten()[1].id == 1
+
+
 def test_artifact_corruption_detected(tmp_path):
     table = tbl.build_baby_table(64, 5, window=16, tile=16)
     table.sorted_pre[3] ^= np.uint64(0xDEAD)  # corrupt an entry
