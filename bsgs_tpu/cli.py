@@ -28,11 +28,12 @@ import os
 import sys
 import time
 
-# Persistent XLA compile cache: first-run kernel compiles are ~10-30 s
-# each on the TPU; caching makes every later process start warm.
-os.makedirs("/root/.cache/jax", exist_ok=True)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# Persistent XLA compile cache: kernel compiles cost minutes per fresh
+# process without it (see utils/compile_cache for why env vars alone
+# don't enable it under the TPU transport's early-jax-import hook).
+from .utils import compile_cache
+
+compile_cache.enable()
 
 
 def build_parser() -> argparse.ArgumentParser:

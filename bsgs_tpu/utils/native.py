@@ -40,7 +40,7 @@ def _load():
                     or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)):
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-o", _LIB_PATH, src],
+                     "-pthread", "-o", _LIB_PATH, src],
                     check=True, capture_output=True, timeout=120,
                 )
             lib = ctypes.CDLL(_LIB_PATH)

@@ -11,7 +11,64 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
+
+namespace {
+
+// One stable LSD pass over chunked data, multi-threaded: per-thread
+// histograms, a stable global prefix layout (digit-major, thread-minor),
+// then per-thread scatters into disjoint destination cursors. The
+// reference multi-threads its per-bucket sorts the same way — threads
+// over disjoint ranges with a rest-job tail (sortWholeHashTableThreaded,
+// 1_9_7File.pb:2843-2895).
+void radix_pass_mt(const uint64_t* src_k, const uint32_t* src_v,
+                   uint64_t* dst_k, uint32_t* dst_v, int64_t n, int shift,
+                   int nthreads) {
+  const int64_t chunk = (n + nthreads - 1) / nthreads;
+  std::vector<std::vector<size_t>> hist(
+      static_cast<size_t>(nthreads), std::vector<size_t>(256, 0));
+  {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nthreads; ++t) {
+      ts.emplace_back([&, t] {
+        const int64_t lo = t * chunk;
+        const int64_t hi = std::min<int64_t>(n, lo + chunk);
+        auto& h = hist[static_cast<size_t>(t)];
+        for (int64_t i = lo; i < hi; ++i)
+          ++h[(src_k[i] >> shift) & 0xFF];
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+  // exclusive prefix: digit-major, thread-minor keeps the pass stable
+  size_t sum = 0;
+  for (int b = 0; b < 256; ++b) {
+    for (int t = 0; t < nthreads; ++t) {
+      const size_t c = hist[static_cast<size_t>(t)][b];
+      hist[static_cast<size_t>(t)][b] = sum;
+      sum += c;
+    }
+  }
+  {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < nthreads; ++t) {
+      ts.emplace_back([&, t] {
+        const int64_t lo = t * chunk;
+        const int64_t hi = std::min<int64_t>(n, lo + chunk);
+        auto& cur = hist[static_cast<size_t>(t)];
+        for (int64_t i = lo; i < hi; ++i) {
+          const size_t d = cur[(src_k[i] >> shift) & 0xFF]++;
+          dst_k[d] = src_k[i];
+          dst_v[d] = src_v[i];
+        }
+      });
+    }
+    for (auto& th : ts) th.join();
+  }
+}
+
+}  // namespace
 
 extern "C" {
 
@@ -27,22 +84,31 @@ int bsgs_sort_prefixes(uint64_t* pre, uint32_t* pos, int64_t n) {
   uint64_t* dst_k = pre_tmp.data();
   uint32_t* dst_v = pos_tmp.data();
 
+  int nthreads = static_cast<int>(std::thread::hardware_concurrency());
+  if (nthreads < 1) nthreads = 1;
+  if (nthreads > 16) nthreads = 16;
+  if (n < (int64_t(1) << 20)) nthreads = 1;  // thread spawn not worth it
+
   // LSD radix, 8 passes of 8 bits.
   for (int pass = 0; pass < 8; ++pass) {
     const int shift = pass * 8;
-    size_t count[256] = {0};
-    for (int64_t i = 0; i < n; ++i)
-      ++count[(src_k[i] >> shift) & 0xFF];
-    size_t sum = 0;
-    for (int b = 0; b < 256; ++b) {
-      size_t c = count[b];
-      count[b] = sum;
-      sum += c;
-    }
-    for (int64_t i = 0; i < n; ++i) {
-      const size_t d = count[(src_k[i] >> shift) & 0xFF]++;
-      dst_k[d] = src_k[i];
-      dst_v[d] = src_v[i];
+    if (nthreads > 1) {
+      radix_pass_mt(src_k, src_v, dst_k, dst_v, n, shift, nthreads);
+    } else {
+      size_t count[256] = {0};
+      for (int64_t i = 0; i < n; ++i)
+        ++count[(src_k[i] >> shift) & 0xFF];
+      size_t sum = 0;
+      for (int b = 0; b < 256; ++b) {
+        size_t c = count[b];
+        count[b] = sum;
+        sum += c;
+      }
+      for (int64_t i = 0; i < n; ++i) {
+        const size_t d = count[(src_k[i] >> shift) & 0xFF]++;
+        dst_k[d] = src_k[i];
+        dst_v[d] = src_v[i];
+      }
     }
     std::swap(src_k, dst_k);
     std::swap(src_v, dst_v);

@@ -13,9 +13,10 @@ block_until_ready so the round-2 perf work attacks evidence, not guesses:
 import os
 import time
 
-os.makedirs("/root/.cache/jax", exist_ok=True)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bsgs_tpu.utils import compile_cache
+compile_cache.enable()
 
 import jax
 import jax.numpy as jnp
