@@ -81,6 +81,27 @@ def test_landing_keys_exactness():
     )
 
 
+def test_phased_epoch_matches_unphased():
+    """phases=2 staggers the epoch's probe blocks; after decode the hit
+    set must equal the unphased epoch's exactly."""
+    baby, ox, oy, cx, cy, cinf = _setup(t_jobs=4)
+    ox_pl = jnp.swapaxes(ox, 0, 1)
+    oy_pl = jnp.swapaxes(oy, 0, 1)
+    kw = dict(htsz=baby.htsz, chunk_c=2, lanes_w=128, hit_cap=64,
+              interpret=True)
+    i1, c1, _ = giant.run_epoch_fused(
+        cx, cy, cinf, ox_pl, oy_pl, baby.dense, phases=1, **kw)
+    i2, c2, _ = giant.run_epoch_fused(
+        cx, cy, cinf, ox_pl, oy_pl, baby.dense, phases=2, **kw)
+    assert int(c1) == int(c2) and int(c1) > 0
+    t_jobs, n = cx.shape[0], ox.shape[0]
+    d1 = {giant.decode_flat_phased(int(f), t_jobs, n, 1)
+          for f in np.asarray(i1) if f != giant.FILL}
+    d2 = {giant.decode_flat_phased(int(f), t_jobs, n, 2)
+          for f in np.asarray(i2) if f != giant.FILL}
+    assert d1 == d2
+
+
 def test_fused_solver_end_to_end():
     """Full solve through the fused path (interpret mode) finds the key."""
     from bsgs_tpu.models import solver as smod
