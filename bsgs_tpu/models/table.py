@@ -85,6 +85,12 @@ class BabyTable:
     # (slot-aligned with dense; 0 = empty). Replaces the CSR arrays, which
     # at w=2^30 would not be worth materializing host-side.
     pos_dense: Optional[np.ndarray] = None
+    # rescan-mode position lookup (build_baby_table_streamed
+    # positions="rescan"): regenerates the baby stream on device and
+    # returns the indices matching a 64-bit prefix. Decouples big-w tables
+    # from host RAM entirely (no 8 B/key mirror); costs one w-point
+    # regeneration pass per *hit*, and hits are rare.
+    lookup_fn: Optional[object] = None
 
     def lookup_positions(self, x_int: int) -> list[int]:
         """All baby indices whose X-coordinate prefix matches that of x_int
@@ -94,6 +100,8 @@ class BabyTable:
         The checker verifies candidates exactly, so the 52-bit device match
         only ever adds astronomically rare extra candidates."""
         pre = x_int & ((1 << 64) - 1)
+        if self.lookup_fn is not None:
+            return self.lookup_fn(pre)
         if self.sorted_pre is not None:
             p = np.uint64(pre)
             l = int(np.searchsorted(self.sorted_pre, p, side="left"))
@@ -352,12 +360,52 @@ def _chunk_scatter(hi, lo, dense, counts, base, *, htsz: int, window: int):
     return dense, counts, valid, slot, sp
 
 
+def make_rescan_lookup(w: int, tile: int = 1 << 20):
+    """Position lookup for mirror-less big-w tables: regenerate the baby
+    prefix stream on device tile by tile and return every index whose full
+    64-bit prefix matches. One call costs a w-point generation pass
+    (~43.6 M pts/s on v5e), paid only when a HIT needs verification —
+    hits are rare, and this removes the 8 B/key host mirror (and its
+    host-link transfer) from the build entirely.
+    """
+
+    @jax.jit
+    def _match(hi, lo, th, tl):
+        m = (hi.reshape(-1) == th) & (lo.reshape(-1) == tl)
+        idx, = jnp.nonzero(m, size=4, fill_value=-1)
+        return idx
+
+    def lookup(pre64: int) -> list:
+        th = np.uint32(pre64 >> 32)
+        tl = np.uint32(pre64 & 0xFFFFFFFF)
+
+        def match(hi, lo):
+            return _match(hi, lo, th, tl)
+
+        gen = (
+            _prefix_tiles_planar(w, tile)
+            if jax.default_backend() == "tpu"
+            else _prefix_tiles(w, min(tile, 1 << 14))
+        )
+        out = []
+        done = 0
+        for hi, lo in gen:
+            take = hi.shape[-1]
+            idx = np.asarray(match(hi, lo))
+            out.extend(done + int(i) + 1 for i in idx if 0 <= i < take)
+            done += take
+        return out
+
+    return lookup
+
+
 def build_baby_table_streamed(
     w: int,
     htsz: Optional[int] = None,
     window: int = DEVICE_WINDOW,
     tile: int = 1 << 20,
     chunk: int = 1 << 24,
+    positions: str = "auto",
 ) -> BabyTable:
     """Big-w device build: the dense matrix is filled chunk by chunk so
     peak device memory is dense (8 B/entry at the default load factor 1/2)
@@ -365,17 +413,27 @@ def build_baby_table_streamed(
     the scan. The reference reaches its w_max = 3.07e9 (README.md:23,
     1_9_7File.pb:4412) by streaming the build through a 512 MiB host
     buffer (packHTFile, 1_9_7File.pb:3232-3444); here the stream stays on
-    the chip and only (slot, position) pairs cross to the host, feeding
-    the position mirror the checker uses in place of a host CSR.
+    the chip.
+
+    ``positions`` controls how the checker later maps a matched prefix to
+    baby indices:
+      "mirror": ship (slot, position) per entry to a host (2^htsz, window)
+        mirror during the build — O(12 B/key) over the host link (at
+        w=2^30 that transfer dominated the round-4 measured build).
+      "rescan": no mirror; lookups regenerate the baby stream on device
+        (make_rescan_lookup) — build stays on-chip, host RAM freed.
+      "auto": rescan at w >= 2^28, mirror below.
     """
     if htsz is None:
         htsz = pick_htsz(w, window)
+    if positions == "auto":
+        positions = "rescan" if w >= (1 << 28) else "mirror"
+    mirror = positions == "mirror"
     nb = 1 << htsz
     dense = jnp.full((nb, window), jnp.asarray(DENSE_FILL))
     counts = jnp.zeros((nb,), _U32)
-    pos_dense = np.zeros((nb, window), np.uint32)
-    flat_pos = pos_dense.reshape(-1)
-    nslots = nb * window
+    pos_dense = np.zeros((nb, window), np.uint32) if mirror else None
+    flat_pos = pos_dense.reshape(-1) if mirror else None
 
     buf_h, buf_l, have, base = [], [], 0, 0
 
@@ -386,10 +444,11 @@ def build_baby_table_streamed(
         dense, counts, valid, slot, sp = _chunk_scatter(
             hi, lo, dense, counts, np.uint32(base), htsz=htsz, window=window
         )
-        s = np.asarray(slot)
-        p = np.asarray(sp)
-        v = np.asarray(valid)
-        flat_pos[s[v]] = p[v]
+        if mirror:
+            s = np.asarray(slot)
+            p = np.asarray(sp)
+            v = np.asarray(valid)
+            flat_pos[s[v]] = p[v]
         base += have
         buf_h, buf_l, have = [], [], 0
 
@@ -422,6 +481,7 @@ def build_baby_table_streamed(
         w=w, htsz=htsz, window=window,
         offsets=offsets, disc_sorted=None, pos_sorted=None,
         dense=dense, sorted_pre=None, pos_dense=pos_dense,
+        lookup_fn=None if mirror else make_rescan_lookup(w, tile),
     )
 
 

@@ -68,6 +68,15 @@ def save_baby_table(table: tbl.BabyTable, path: str) -> None:
             pos_dense=table.pos_dense,
             offsets=np.asarray(table.offsets),
         )
+    elif table.lookup_fn is not None:
+        # mirror-less streamed build: positions re-derive by device rescan
+        _atomic_savez(
+            path,
+            kind="streamed-rescan",
+            w=table.w, htsz=table.htsz, window=table.window,
+            dense=np.asarray(table.dense),
+            offsets=np.asarray(table.offsets),
+        )
     else:
         _atomic_savez(
             path,
@@ -106,7 +115,7 @@ def load_baby_table(path: str, spot_checks: int = 8,
             dense=jnp.asarray(tbl.dense_from_csr(offsets, disc, window)),
             sorted_pre=sorted_pre,
         )
-    elif kind == "streamed":
+    elif kind in ("streamed", "streamed-rescan"):
         table = tbl.BabyTable(
             w=int(z["w"]),
             htsz=htsz,
@@ -116,7 +125,9 @@ def load_baby_table(path: str, spot_checks: int = 8,
             pos_sorted=None,
             dense=jnp.asarray(z["dense"]),
             sorted_pre=None,
-            pos_dense=z["pos_dense"],
+            pos_dense=z["pos_dense"] if kind == "streamed" else None,
+            lookup_fn=(tbl.make_rescan_lookup(int(z["w"]))
+                       if kind == "streamed-rescan" else None),
         )
     else:  # device CSR
         offsets = z["offsets"]

@@ -103,6 +103,36 @@ def test_streamed_pos_dense_lookup():
     assert st.lookup_positions(ecpy.mul(w + 7)[0]) == []
 
 
+def test_streamed_rescan_lookup():
+    """positions='rescan' drops the host mirror; lookup_positions must
+    re-derive exact indices by regenerating the prefix stream on device
+    (the big-w mode that frees host RAM and the build's host-link
+    transfer)."""
+    w, htsz = 256, 6
+    st = T.build_baby_table_streamed(w, htsz, window=16, tile=32, chunk=64,
+                                     positions="rescan")
+    assert st.pos_dense is None and st.lookup_fn is not None
+    for r in [1, 64, 65, 256]:
+        assert st.lookup_positions(ecpy.mul(r)[0]) == [r]
+    assert st.lookup_positions(ecpy.mul(w + 7)[0]) == []
+    # the probe path (dense matrix) is identical to mirror mode
+    mr = T.build_baby_table_streamed(w, htsz, window=16, tile=32, chunk=64,
+                                     positions="mirror")
+    np.testing.assert_array_equal(np.asarray(st.dense), np.asarray(mr.dense))
+
+
+def test_streamed_rescan_artifact_roundtrip(tmp_path):
+    from bsgs_tpu.utils import artifacts
+
+    st = T.build_baby_table_streamed(64, 5, window=16, tile=16, chunk=32,
+                                     positions="rescan")
+    path = str(tmp_path / "rescan.npz")
+    artifacts.save_baby_table(st, path)
+    loaded = artifacts.load_baby_table(path, spot_checks=16)
+    assert loaded.lookup_fn is not None
+    assert loaded.lookup_positions(ecpy.mul(9)[0]) == [9]
+
+
 def test_probe_respects_bucket_boundaries(rng):
     # adjacent-bucket entries with equal disc bits must not false-positive
     # via the fixed window overrun: craft prefixes in two adjacent buckets.
