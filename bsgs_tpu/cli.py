@@ -14,6 +14,8 @@ Flag surface mirrors the reference CLI (README.md:2-16, getprogparam
   -infile <file>         --infile (one pubkey per line, lazy)
   -wl <file>             --resume <file>
   -wt <sec>              --checkpoint-interval
+  -sf 0/1 (RAM/file HT)  --positions mirror/rescan (host-RAM-decoupled
+                         hit lookup for big-w streamed tables)
   (win.txt)              --win-file
   (Tune printout)        --tune
 
@@ -65,6 +67,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "-d 1,2,3 device selection); overrides --devices")
     p.add_argument("--shard-table", action="store_true",
                    help="shard the baby table across chips (large-w mode)")
+    p.add_argument("--positions", "-sf", default="auto",
+                   choices=["auto", "mirror", "rescan"],
+                   help="hit-position lookup for streamed big-w builds: "
+                   "mirror = host position matrix (8 B/key host RAM), "
+                   "rescan = regenerate on device per hit (host RAM "
+                   "independent of w; the reference's -sf file mode)")
     p.add_argument("--infile", help="file with one pubkey per line")
     p.add_argument("--resume", "-wl", help="checkpoint file to resume")
     p.add_argument("--checkpoint-file", default="currentwork.json")
@@ -156,6 +164,7 @@ def main(argv=None) -> int:
         w=w, htsz=htsz, n_offsets=n_offsets,
         jobs_per_epoch=args.jobs_per_epoch, window=window,
         n_split=args.n_split, pipeline=args.pipeline,
+        positions=args.positions,
     )
     fingerprint = ckpt.config_fingerprint(
         w=w, htsz=htsz, n_offsets=n_offsets, pk=pk, pke=pke,

@@ -60,6 +60,12 @@ class SolverConfig:
     # of one group overlap the next group's EC kernels (fused path only;
     # measured ~6% on v5e at 2, PROFILE_r04)
     epoch_phases: int = 2
+    # hit-position source for streamed big-w builds: "mirror" keeps a host
+    # (2^htsz, window) position matrix, "rescan" regenerates the prefix
+    # stream on device per hit (host RAM decoupled from w — the analog of
+    # the reference's -sf file-probe mode, 1_9_7File.pb:907-918,3232-3444),
+    # "auto" picks rescan at w >= 2^28
+    positions: str = "auto"
 
     def __post_init__(self):
         if self.htsz is None:
@@ -107,7 +113,7 @@ def build_table(cfg: SolverConfig) -> tbl.BabyTable:
         if cfg.w >= 1 << 28:
             # big-w: incremental scatter keeps peak HBM at dense + 1 chunk
             return tbl.build_baby_table_streamed(
-                cfg.w, cfg.htsz, window=cfg.window
+                cfg.w, cfg.htsz, window=cfg.window, positions=cfg.positions
             )
         return tbl.build_baby_table_device(
             cfg.w, cfg.htsz, window=cfg.window, tile=cfg.table_tile
