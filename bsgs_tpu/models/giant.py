@@ -61,17 +61,26 @@ def make_probe(dense, *, htsz: int):
 
 def _mask_to_hits(mask, hit_cap: int):
     """Shared hit extraction: count + lax.cond-guarded compaction."""
-    cnt = jnp.sum(mask, dtype=jnp.int32)
+    return _masks_to_hits((mask,), hit_cap)
 
-    def extract(m):
+
+def _masks_to_hits(mask_parts, hit_cap: int):
+    """Hit extraction from per-stream mask parts. The per-part counts fuse
+    into the probe compares (no materialized concat on the no-hit path —
+    which is every epoch but the winning one); the concatenation and
+    nonzero-compaction run only inside the rare hit branch."""
+    cnt = sum(jnp.sum(m, dtype=jnp.int32) for m in mask_parts)
+
+    def extract(parts):
+        m = jnp.concatenate(parts)
         (idx,) = jnp.nonzero(m, size=hit_cap, fill_value=-1)
         return jnp.where(idx >= 0, idx.astype(_U32), jnp.asarray(FILL))
 
     idxs = jax.lax.cond(
         cnt > 0,
         extract,
-        lambda m: jnp.full((hit_cap,), jnp.asarray(FILL)),
-        mask,
+        lambda parts: jnp.full((hit_cap,), jnp.asarray(FILL)),
+        tuple(mask_parts),
     )
     return idxs, cnt[None]
 
@@ -120,15 +129,15 @@ def epoch_probes(
     all_lo = jnp.concatenate([hp_lo, hm_lo, hc_lo])
     found = probe_fn(all_hi, all_lo)
     tn = t_jobs * n
-    mask = jnp.concatenate(
+    idxs, cnt = _masks_to_hits(
         [
             found[:tn] & ~exact,
             found[tn : 2 * tn] & ~exact,
             exact,
             found[2 * tn :] | centers_inf,
-        ]
+        ],
+        hit_cap,
     )
-    idxs, cnt = _mask_to_hits(mask, hit_cap)
     return idxs, cnt
 
 
@@ -210,10 +219,10 @@ def fused_epoch_probes(
     hc_hi, hc_lo = F.x_prefix64(centers_x)
     bc, dc = T.bucket_disc(hc_hi, hc_lo, htsz)
     found_c = probe_c_fn(bc, dc)
-    mask = jnp.concatenate(
-        [m for trio in parts for m in trio] + [found_c | centers_inf]
+    return _masks_to_hits(
+        [m for trio in parts for m in trio] + [found_c | centers_inf],
+        hit_cap,
     )
-    return _mask_to_hits(mask, hit_cap)
 
 
 def decode_flat_phased(flat: int, t_jobs: int, n: int, phases: int):
