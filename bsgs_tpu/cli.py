@@ -120,7 +120,8 @@ def main(argv=None) -> int:
             # TPU-accelerated generation (reference onlygen1_9_6File.pb is
             # CPU-only; here the table builds on-chip and only the packed
             # arrays come back for the artifact)
-            cfg = smod.SolverConfig(w=w, htsz=htsz, window=window)
+            cfg = smod.SolverConfig(w=w, htsz=htsz, window=window,
+                                    positions=args.positions)
             baby = smod.build_table(cfg)
             artifacts.save_baby_table(baby, path)
             # round-trip + random-oracle verify the artifact we just wrote
@@ -224,7 +225,10 @@ def main(argv=None) -> int:
     s = smod.Solver(cfg, baby=baby)
 
     n_chips = 1
-    if n_devices > 1 or args.shard_table:
+    # device_ids always routes through the mesh path, even for one chip:
+    # a plain Solver would ignore the selection and run on the default
+    # device (mesh(1 chip) measures within ~9% of single-chip, PROFILE_r04)
+    if n_devices > 1 or args.shard_table or device_ids is not None:
         from .parallel import mesh as pmesh, striped
         m = pmesh.make_mesh(n_devices or None, device_ids=device_ids)
         # MeshSolver shares Solver's loop: resume/checkpoint/progress all

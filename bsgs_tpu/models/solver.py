@@ -155,9 +155,10 @@ class Solver:
             )
         # Off-TPU the kernels run in Pallas interpreter mode (tests/debug).
         self._interpret = jax.default_backend() != "tpu"
+        phases = max(1, cfg.epoch_phases)
         self._phases = (
-            cfg.epoch_phases
-            if self.fused and cfg.jobs_per_epoch % max(1, cfg.epoch_phases) == 0
+            phases
+            if self.fused and cfg.jobs_per_epoch % phases == 0
             else 1
         )
         if self.fused:

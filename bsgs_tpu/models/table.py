@@ -375,27 +375,35 @@ def make_rescan_lookup(w: int, tile: int = 1 << 20):
         idx, = jnp.nonzero(m, size=4, fill_value=-1)
         return idx
 
-    def lookup(pre64: int) -> list:
-        th = np.uint32(pre64 >> 32)
-        tl = np.uint32(pre64 & 0xFFFFFFFF)
-
-        def match(hi, lo):
-            return _match(hi, lo, th, tl)
-
+    def lookup_many(pres) -> dict:
+        """Positions for MANY prefixes in ONE generation pass (the pass is
+        the cost; matching per tile is a cheap vector compare). Used by
+        the artifact spot-checker, which would otherwise pay a full
+        regeneration per checked prefix."""
+        targets = [
+            (p, np.uint32(p >> 32), np.uint32(p & 0xFFFFFFFF)) for p in pres
+        ]
         gen = (
             _prefix_tiles_planar(w, tile)
             if jax.default_backend() == "tpu"
             else _prefix_tiles(w, min(tile, 1 << 14))
         )
-        out = []
+        out = {p: [] for p in pres}
         done = 0
         for hi, lo in gen:
             take = hi.shape[-1]
-            idx = np.asarray(match(hi, lo))
-            out.extend(done + int(i) + 1 for i in idx if 0 <= i < take)
+            for p, th, tl in targets:
+                idx = np.asarray(_match(hi, lo, th, tl))
+                out[p].extend(
+                    done + int(i) + 1 for i in idx if 0 <= i < take
+                )
             done += take
         return out
 
+    def lookup(pre64: int) -> list:
+        return lookup_many([pre64])[pre64]
+
+    lookup.batch = lookup_many
     return lookup
 
 

@@ -148,8 +148,21 @@ def load_baby_table(path: str, spot_checks: int = 8,
             sorted_pre=None,
         )
     rng = np.random.default_rng(0xB5B5)
-    for _ in range(min(spot_checks, table.w)):
-        r = int(rng.integers(1, table.w + 1))
+    rs = [int(rng.integers(1, table.w + 1))
+          for _ in range(min(spot_checks, table.w))]
+    batch = getattr(table.lookup_fn, "batch", None)
+    if batch is not None:
+        # rescan lookups regenerate the whole stream per call: verify all
+        # spot prefixes in ONE pass
+        pres = {r: ecpy.mul(r)[0] & ((1 << 64) - 1) for r in rs}
+        found = batch(list(pres.values()))
+        for r in rs:
+            if r not in found[pres[r]]:
+                raise ValueError(
+                    f"baby table artifact corrupt at r={r}: {path}"
+                )
+        return table
+    for r in rs:
         x = ecpy.mul(r)[0]
         if r not in table.lookup_positions(x):
             raise ValueError(f"baby table artifact corrupt at r={r}: {path}")

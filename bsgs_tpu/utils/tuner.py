@@ -86,8 +86,10 @@ class TuneResult:
             f"build peak {self.est_build_peak_bytes / mib:.0f} MiB "
             f"[{build}]\n"
             f"  host: ~{self.est_host_bytes / mib:.0f} MiB "
-            f"(checker position mirror / CSR)\n"
-            f"  keys per epoch: 2^{self.keys_per_epoch.bit_length() - 1}"
+            + ("(rescan positions; --positions mirror would need "
+               f"~{(1 << self.htsz) * self.window * 4 / mib:.0f} MiB)\n"
+               if self.streamed_build else "(checker CSR)\n")
+            + f"  keys per epoch: 2^{self.keys_per_epoch.bit_length() - 1}"
         )
 
 
@@ -149,7 +151,10 @@ def tune(mem_bytes: int | None = None, range_bits: int | None = None,
     build_peak = table_b + (
         (1 << 24) * 24 * 2 if streamed else w * 24 * 2
     )
-    host_b = (1 << htsz) * window * 4 if streamed else w * 12
+    # streamed builds default to positions="rescan" at the same threshold:
+    # no host mirror, host RAM ~0 (the mirror figure is reported for the
+    # explicit --positions mirror choice)
+    host_b = 0 if streamed else w * 12
     return TuneResult(
         w=w,
         htsz=htsz,

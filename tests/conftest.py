@@ -25,12 +25,16 @@ import jax
 # The axon site hook (PYTHONPATH=/root/.axon_site) force-prepends the TPU
 # platform at import time, overriding JAX_PLATFORMS; config.update wins.
 # The same early import also snapshots the cache env vars before this
-# file runs, so the cache too must be set via config.update
-# (utils/compile_cache).
+# file runs, so the cache too is enabled via config.update
+# (utils/compile_cache owns that workaround).
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bsgs_tpu.utils import compile_cache
+
+compile_cache.enable()
 
 import numpy as np
 import pytest
