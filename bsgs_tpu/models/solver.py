@@ -146,6 +146,7 @@ class Solver:
             self.ox, self.oy = ec.fill_multiples(s_g, s_g, n)
         # Epoch center stepping: centers advance by -(2N+1)*S*G.
         self.center_step = ecpy.neg(ecpy.mul(cfg.jobs_span * cfg.stride))
+        self._verify_offsets()
 
         self.fused = cfg.fused
         if self.fused is None:
@@ -165,6 +166,25 @@ class Solver:
             # Planar offset planes for the Pallas kernels (16, N).
             self.ox_pl = jnp.swapaxes(self.ox, 0, 1)
             self.oy_pl = jnp.swapaxes(self.oy, 0, 1)
+
+    def _verify_offsets(self, checks: int = 4):
+        """Runtime random spot-verify of the device giant-offset buffer
+        against exact host EC — the reference's checkGiantArr
+        (1_9_7File.pb:1524-1560): random j, recompute (j+1)*S*G by scalar
+        mult, require X and Y to match bit-exactly."""
+        cfg = self.cfg
+        rng = np.random.default_rng(0x61A27)
+        for j in {int(rng.integers(0, cfg.n_offsets)) for _ in range(checks)}:
+            expect = ecpy.mul((j + 1) * cfg.stride)
+            got = (
+                F.from_limbs(np.asarray(self.ox[j])),
+                F.from_limbs(np.asarray(self.oy[j])),
+            )
+            if got != expect:
+                raise ValueError(
+                    f"giant offset buffer corrupt at j={j}: {got[0]:#x} "
+                    f"!= {expect[0]:#x}"
+                )
 
     # -- center generation -------------------------------------------------
     def epoch_centers(self, q0, first_job: int, n_jobs: int):

@@ -34,6 +34,19 @@ def solve_one(s, k, pk, pke):
     return res
 
 
+def test_offset_spot_verify_catches_corruption():
+    """The runtime giant-buffer spot check (reference checkGiantArr,
+    1_9_7File.pb:1524-1560) must reject a tampered offset row."""
+    import jax.numpy as jnp
+
+    cfg = solver.SolverConfig(w=64, htsz=6, n_offsets=8, jobs_per_epoch=2,
+                              window=16, chunk=8, table_tile=32)
+    s = solver.Solver(cfg)
+    s.ox = jnp.asarray(np.asarray(s.ox)).at[:, 0].set(12345)
+    with pytest.raises(ValueError, match="corrupt"):
+        s._verify_offsets(checks=16)
+
+
 def test_solve_midrange():
     s = get_solver()
     pk, pke = 1 << 20, (1 << 20) + (1 << 16)
