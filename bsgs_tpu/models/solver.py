@@ -110,6 +110,15 @@ def build_table(cfg: SolverConfig) -> tbl.BabyTable:
     import jax
 
     if jax.default_backend() == "tpu":
+        dense_bytes = (1 << cfg.htsz) * cfg.window * 4
+        if dense_bytes > 13 * (1 << 30):  # leave room for scan transients
+            raise ValueError(
+                f"dense table ({dense_bytes / 2**30:.1f} GiB at "
+                f"htsz={cfg.htsz}, window={cfg.window}) exceeds one "
+                f"chip's HBM; single-chip w tops out near 2^30.5 — use "
+                f"--shard-table over a mesh to split the table across "
+                f"chips (parallel/sharded_table.py)"
+            )
         if cfg.w >= 1 << 28:
             # big-w: incremental scatter keeps peak HBM at dense + 1 chunk
             return tbl.build_baby_table_streamed(
