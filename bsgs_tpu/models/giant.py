@@ -245,6 +245,101 @@ def decode_flat_phased(flat: int, t_jobs: int, n: int, phases: int):
     jax.jit,
     static_argnames=(
         "htsz", "chunk_c", "lanes_w", "hit_cap", "interpret", "n_split",
+    ),
+)
+def pipelined_step(
+    prev_keys,
+    prev_bc,
+    prev_dc,
+    prev_cinf,
+    prev_valid,
+    centers_x,
+    centers_y,
+    ox_pl,
+    oy_pl,
+    dense,
+    *,
+    htsz: int,
+    chunk_c: int = 64,
+    lanes_w: int = 256,
+    hit_cap: int = 512,
+    interpret: bool = False,
+    n_split: int = 8,
+):
+    """Cross-epoch software pipelining: ONE program that probes the
+    PREVIOUS epoch's landing keys and computes THIS epoch's keys. The two
+    halves share no data dependency, so the scheduler can run the probe
+    row-gather DMAs underneath the EC kernels — within-epoch phasing
+    cannot hide the first phase's EC, this structure can (PROFILE_r04).
+    prev_valid=False (the priming step) suppresses all hits from the
+    dummy prev operands.
+
+    Returns (keys, bc, dc, idxs_prev, cnt_prev): this epoch's key bundle
+    plus the hit record of the PREVIOUS epoch.
+    """
+    from ..ops import epoch_kernel as EK
+
+    exact = prev_keys[4] != 0
+    fp = T.probe_keys_split(prev_keys[0], prev_keys[1], dense,
+                            n_split=n_split)
+    fm = T.probe_keys_split(prev_keys[2], prev_keys[3], dense,
+                            n_split=n_split)
+    fc = T.probe_keys(prev_bc, prev_dc, dense)
+    v = prev_valid
+    idxs, cnt = _masks_to_hits(
+        [
+            (fp & ~exact) & v,
+            (fm & ~exact) & v,
+            exact & v,
+            (fc | prev_cinf) & v,
+        ],
+        hit_cap,
+    )
+    keys = EK.epoch_landing_keys(
+        jnp.swapaxes(centers_x, 0, 1),
+        jnp.swapaxes(centers_y, 0, 1),
+        ox_pl,
+        oy_pl,
+        htsz=htsz,
+        chunk_c=chunk_c,
+        lanes_w=lanes_w,
+        interpret=interpret,
+    )
+    hc_hi, hc_lo = F.x_prefix64(centers_x)
+    bc, dc = T.bucket_disc(hc_hi, hc_lo, htsz)
+    return keys, bc, dc, idxs, cnt[0]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("htsz", "hit_cap", "n_split"),
+)
+def probe_keys_flush(
+    keys,
+    bc,
+    dc,
+    cinf,
+    dense,
+    *,
+    htsz: int,
+    hit_cap: int = 512,
+    n_split: int = 8,
+):
+    """Drain the final in-flight key bundle of a pipelined scan."""
+    exact = keys[4] != 0
+    fp = T.probe_keys_split(keys[0], keys[1], dense, n_split=n_split)
+    fm = T.probe_keys_split(keys[2], keys[3], dense, n_split=n_split)
+    fc = T.probe_keys(bc, dc, dense)
+    idxs, cnt = _masks_to_hits(
+        [fp & ~exact, fm & ~exact, exact, fc | cinf], hit_cap
+    )
+    return idxs, cnt[0]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "htsz", "chunk_c", "lanes_w", "hit_cap", "interpret", "n_split",
         "phases",
     ),
 )

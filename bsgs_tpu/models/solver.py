@@ -66,6 +66,11 @@ class SolverConfig:
     # the reference's -sf file-probe mode, 1_9_7File.pb:907-918,3232-3444),
     # "auto" picks rescan at w >= 2^28
     positions: str = "auto"
+    # cross-epoch software pipelining (fused path): each program probes the
+    # PREVIOUS epoch's keys while computing this epoch's EC — the two
+    # halves are independent, so probe-gather DMAs hide under the EC
+    # kernels (giant.pipelined_step)
+    cross_pipeline: bool = True
 
     def __post_init__(self):
         if self.htsz is None:
@@ -165,16 +170,27 @@ class Solver:
             )
         # Off-TPU the kernels run in Pallas interpreter mode (tests/debug).
         self._interpret = jax.default_backend() != "tpu"
+        self._pipelined = bool(self.fused and cfg.cross_pipeline)
         phases = max(1, cfg.epoch_phases)
         self._phases = (
             phases
-            if self.fused and cfg.jobs_per_epoch % phases == 0
+            if self.fused and not self._pipelined
+            and cfg.jobs_per_epoch % phases == 0
             else 1
         )
+        self._prev = None  # pipelined mode: last dispatched key bundle
         if self.fused:
             # Planar offset planes for the Pallas kernels (16, N).
             self.ox_pl = jnp.swapaxes(self.ox, 0, 1)
             self.oy_pl = jnp.swapaxes(self.oy, 0, 1)
+        if self._pipelined:
+            t, n = cfg.jobs_per_epoch, cfg.n_offsets
+            self._dummy_prev = (
+                jnp.zeros((8, t * n), jnp.uint32),
+                jnp.zeros((t,), jnp.uint32),
+                jnp.zeros((t,), jnp.uint32),
+                jnp.zeros((t,), bool),
+            )
 
     def _verify_offsets(self, checks: int = 4):
         """Runtime random spot-verify of the device giant-offset buffer
@@ -227,12 +243,34 @@ class Solver:
 
     # -- epoch dispatch ------------------------------------------------------
     def _dispatch(self, q0, epoch: int, hit_cap: Optional[int] = None):
-        """Launch one epoch on the device; returns (first_job, idxs, cnt,
-        giant_steps) with idxs/cnt still device-resident (async)."""
+        """Launch one epoch on the device; returns a record
+        (epoch_covered, first_job, idxs, cnt, giant_steps) with idxs/cnt
+        still device-resident (async). In cross-pipelined mode the record
+        carries the hits of the PREVIOUSLY dispatched epoch (None covered
+        epoch for the priming step); _flush() drains the last one."""
         cfg = self.cfg
         cap = hit_cap or cfg.hit_cap
         first_job = epoch * cfg.jobs_per_epoch
         cx, cy, cinf = self.epoch_centers(q0, first_job, cfg.jobs_per_epoch)
+        gs = (2 * cfg.n_offsets + 1) * cfg.jobs_per_epoch
+        if self._pipelined:
+            if self._prev is None:
+                pk_, pbc, pdc, pcinf = self._dummy_prev
+                prev_job, valid = None, False
+            else:
+                prev_job, pk_, pbc, pdc, pcinf = self._prev
+                valid = True
+            keys, bc, dc, idxs, cnt = giant.pipelined_step(
+                pk_, pbc, pdc, pcinf, jnp.asarray(valid),
+                cx, cy, self.ox_pl, self.oy_pl, self.baby.dense,
+                htsz=cfg.htsz, chunk_c=cfg.chunk_c, lanes_w=cfg.lanes_w,
+                hit_cap=cap, interpret=self._interpret,
+                n_split=cfg.n_split,
+            )
+            self._prev = (first_job, keys, bc, dc, cinf)
+            if prev_job is None:
+                return None, None, idxs, cnt, 0
+            return prev_job // cfg.jobs_per_epoch, prev_job, idxs, cnt, gs
         if self.fused:
             idxs, cnt, _ = giant.run_epoch_fused(
                 cx, cy, cinf, self.ox_pl, self.oy_pl, self.baby.dense,
@@ -249,14 +287,47 @@ class Solver:
         # giant_steps is a static formula: do NOT touch the device value
         # here — an int() on a jit output would force a host sync per
         # dispatch and serialize the whole pipeline.
+        return epoch, first_job, idxs, cnt, gs
+
+    def _flush(self):
+        """Drain the final in-flight key bundle of a pipelined scan."""
+        cfg = self.cfg
+        prev_job, keys, bc, dc, cinf = self._prev
+        self._prev = None
+        idxs, cnt = giant.probe_keys_flush(
+            keys, bc, dc, cinf, self.baby.dense,
+            htsz=cfg.htsz, hit_cap=cfg.hit_cap, n_split=cfg.n_split,
+        )
         gs = (2 * cfg.n_offsets + 1) * cfg.jobs_per_epoch
-        return first_job, idxs, cnt, gs
+        return prev_job // cfg.jobs_per_epoch, prev_job, idxs, cnt, gs
+
+    def _redispatch(self, q0, epoch: int, cap: int):
+        """Overflow recovery: re-run ONE epoch synchronously with a larger
+        hit buffer (outside the cross-epoch pipeline; phases=1 so the
+        flat-index layout matches _drain's decode in pipelined mode)."""
+        cfg = self.cfg
+        first_job = epoch * cfg.jobs_per_epoch
+        cx, cy, cinf = self.epoch_centers(q0, first_job, cfg.jobs_per_epoch)
+        if self.fused:
+            idxs, cnt, _ = giant.run_epoch_fused(
+                cx, cy, cinf, self.ox_pl, self.oy_pl, self.baby.dense,
+                htsz=cfg.htsz, chunk_c=cfg.chunk_c, lanes_w=cfg.lanes_w,
+                hit_cap=cap, interpret=self._interpret,
+                n_split=cfg.n_split, phases=self._phases,
+            )
+        else:
+            idxs, cnt, _ = giant.run_epoch(
+                cx, cy, cinf, self.ox, self.oy, self.baby.dense,
+                htsz=cfg.htsz, chunk=cfg.chunk, hit_cap=cap,
+            )
+        gs = (2 * cfg.n_offsets + 1) * cfg.jobs_per_epoch
+        return epoch, first_job, idxs, cnt, gs
 
     def _drain(self, pub, pk: int, pke: int, rec):
         """Force one in-flight epoch's results to the host and verify any
         hits. Returns (key or None, giant_steps, hits_checked)."""
         cfg = self.cfg
-        first_job, idxs, cnt, gs = rec
+        _, first_job, idxs, cnt, gs = rec
         cnt = int(cnt)
         hits_checked = 0
         if cnt > np.asarray(idxs).shape[-1]:
@@ -322,18 +393,25 @@ class Solver:
         drained = 0
         depth = max(1, cfg.pipeline)
         inflight = collections.deque()
+        self._prev = None  # pipelined state is per-solve
 
         def may_dispatch():
             return epoch < total_epochs and (
                 max_epochs is None or dispatched < max_epochs
             )
 
-        while may_dispatch() or inflight:
+        def pending_flush():
+            return self._pipelined and self._prev is not None
+
+        while may_dispatch() or inflight or pending_flush():
             while may_dispatch() and len(inflight) < depth:
-                inflight.append((epoch, self._dispatch(q0, epoch)))
+                inflight.append(self._dispatch(q0, epoch))
                 dispatched += 1
                 epoch += epoch_stride
-            e, rec = inflight.popleft()
+            if not inflight:
+                inflight.append(self._flush())
+            rec = inflight.popleft()
+            e = rec[0]
             while True:
                 try:
                     key, gs, hc = self._drain(pub, pk, pke, rec)
@@ -342,17 +420,19 @@ class Solver:
                     # re-run this epoch with a buffer that fits (rare:
                     # collision-heavy tables / tiny test geometries)
                     cap = 1 << max(ov.count.bit_length() + 1, 8)
-                    rec = self._dispatch(q0, e, hit_cap=cap)
+                    rec = self._redispatch(q0, e, cap)
             steps += gs
             hits_checked += hc
-            drained += 1
+            if e is not None:
+                drained += 1
             if key is not None:
                 return SolveResult(
                     key, steps, time.time() - t0, drained, hits_checked
                 )
-            if on_epoch is not None:
-                on_epoch(e, steps)
-            if progress is not None:
-                progress(e + 1, total_epochs, steps, time.time() - t0)
+            if e is not None:
+                if on_epoch is not None:
+                    on_epoch(e, steps)
+                if progress is not None:
+                    progress(e + 1, total_epochs, steps, time.time() - t0)
         return SolveResult(None, steps, time.time() - t0, drained,
                            hits_checked)

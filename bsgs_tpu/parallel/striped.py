@@ -174,6 +174,10 @@ class MeshSolver(ssolver.Solver):
         # hot path whenever the base solver does (round-3 fix: forcing the
         # row-major XLA body here collapsed per-chip rates ~100x).
         self.fused = base.fused
+        # cross-epoch pipelining stays single-chip for now: the mesh body
+        # is one shard_map program per super-epoch
+        self._pipelined = False
+        self._prev = None
         self._interpret = base._interpret
         self.base = base
         self.mesh = mesh
@@ -261,11 +265,14 @@ class MeshSolver(ssolver.Solver):
         buf, cnt = epoch_fn(cx, cy, cinf, self._ox_g, self._oy_g,
                             self._dense_g)
         gs = (2 * cfg.n_offsets + 1) * self._jobs_per_super
-        return first_job, buf, cnt, gs
+        return epoch, first_job, buf, cnt, gs
+
+    def _redispatch(self, q0, epoch: int, cap: int):
+        return self._dispatch(q0, epoch, hit_cap=cap)
 
     def _drain(self, pub, pk: int, pke: int, rec):
         cfg = self.cfg
-        first_job, buf, cnt, gs = rec
+        _, first_job, buf, cnt, gs = rec
         cnt = np.asarray(cnt)
         buf = np.asarray(buf).reshape(self.n_chips, -1)
         cap = buf.shape[1]

@@ -103,7 +103,8 @@ def test_phased_epoch_matches_unphased():
 
 
 def test_fused_solver_end_to_end():
-    """Full solve through the fused path (interpret mode) finds the key."""
+    """Full solve through the fused path (interpret mode) finds the key —
+    by default via cross-epoch pipelining (giant.pipelined_step)."""
     from bsgs_tpu.models import solver as smod
 
     cfg = smod.SolverConfig(
@@ -111,9 +112,54 @@ def test_fused_solver_end_to_end():
         fused=True, chunk_c=2, lanes_w=128, table_tile=32,
     )
     s = smod.Solver(cfg)
-    # interpret mode on CPU for the kernels
-    import bsgs_tpu.models.giant as G
+    assert s._pipelined
     key = 99991
     pub = ecpy.mul(key)
     res = s.solve(pub, pk=key - 50000, pke=key + 50000)
     assert res.key == key
+
+
+def test_pipelined_matches_unpipelined():
+    """Cross-pipelined and direct fused solves must agree on the key, the
+    scanned step count, and exhaustion behavior."""
+    from bsgs_tpu.models import solver as smod
+
+    kw = dict(w=64, htsz=6, n_offsets=256, jobs_per_epoch=2, fused=True,
+              chunk_c=2, lanes_w=128, table_tile=32)
+    s_p = smod.Solver(smod.SolverConfig(**kw))
+    s_d = smod.Solver(smod.SolverConfig(cross_pipeline=False, **kw),
+                      baby=s_p.baby)
+    assert s_p._pipelined and not s_d._pipelined
+    key = 99991
+    pub = ecpy.mul(key)
+    r_p = s_p.solve(pub, key - 50000, key + 50000)
+    r_d = s_d.solve(pub, key - 50000, key + 50000)
+    assert r_p.key == r_d.key == key
+    # exhaustion: same total steps either way (flush drains the last epoch)
+    pub2 = ecpy.mul((1 << 90) + 5)
+    r_p = s_p.solve(pub2, 1 << 20, (1 << 20) + (1 << 19))
+    r_d = s_d.solve(pub2, 1 << 20, (1 << 20) + (1 << 19))
+    assert r_p.key is None and r_d.key is None
+    assert r_p.giant_steps == r_d.giant_steps
+    assert r_p.epochs == r_d.epochs
+
+
+def test_pipelined_overflow_redispatch():
+    """HitOverflow recovery through the cross-pipelined dispatch path."""
+    from bsgs_tpu.models import solver as smod
+    from test_parallel import _landing_prefix_table
+
+    cfg = smod.SolverConfig(
+        w=64, htsz=6, n_offsets=64, jobs_per_epoch=2, fused=True,
+        chunk_c=1, lanes_w=64, table_tile=32, hit_cap=8,
+    )
+    s0 = smod.Solver(cfg)
+    assert s0._pipelined
+    pub = ecpy.mul(987654321)
+    pk = 1000
+    q0 = ecpy.sub(pub, ecpy.mul(pk))
+    baby = _landing_prefix_table(s0, q0, cfg.jobs_per_epoch, cfg.htsz, 16)
+    s = smod.Solver(cfg, baby=baby)
+    res = s.solve(pub, pk, pk + cfg.keys_per_epoch - 1, max_epochs=1)
+    assert res.key is None
+    assert res.hits_checked > cfg.hit_cap

@@ -270,8 +270,8 @@ def test_mesh_fused_matches_xla_mesh_epoch(fused_base_solver):
     ms_x = striped.MeshSolver(base_x, mesh)
     assert ms_f.fused and not ms_x.fused
     q0 = ecpy.mul(99991 - 70000)
-    _, buf_f, cnt_f, _ = ms_f._dispatch(q0, 0)
-    _, buf_x, cnt_x, _ = ms_x._dispatch(q0, 0)
+    _, _, buf_f, cnt_f, _ = ms_f._dispatch(q0, 0)
+    _, _, buf_x, cnt_x, _ = ms_x._dispatch(q0, 0)
     np.testing.assert_array_equal(
         np.asarray(cnt_f)[:8], np.asarray(cnt_x)[:8]
     )
