@@ -67,10 +67,14 @@ class SolverConfig:
     # "auto" picks rescan at w >= 2^28
     positions: str = "auto"
     # cross-epoch software pipelining (fused path): each program probes the
-    # PREVIOUS epoch's keys while computing this epoch's EC — the two
-    # halves are independent, so probe-gather DMAs hide under the EC
-    # kernels (giant.pipelined_step)
-    cross_pipeline: bool = True
+    # PREVIOUS epoch's keys while computing this epoch's EC
+    # (giant.pipelined_step). Measured on v5e: ~13% SLOWER than the direct
+    # epoch — the TPU executes one program's ops in schedule order and did
+    # not overlap the independent probe subgraph with the Pallas kernels —
+    # so this stays off by default; kept as a tested option because the
+    # structure is the right one for runtimes with multiple compute queues
+    # (PROFILE_r04 §3).
+    cross_pipeline: bool = False
 
     def __post_init__(self):
         if self.htsz is None:

@@ -103,13 +103,15 @@ def test_phased_epoch_matches_unphased():
 
 
 def test_fused_solver_end_to_end():
-    """Full solve through the fused path (interpret mode) finds the key —
-    by default via cross-epoch pipelining (giant.pipelined_step)."""
+    """Full solve through the fused path (interpret mode) finds the key
+    via cross-epoch pipelining (giant.pipelined_step; opt-in — see
+    SolverConfig.cross_pipeline)."""
     from bsgs_tpu.models import solver as smod
 
     cfg = smod.SolverConfig(
         w=64, htsz=6, n_offsets=256, jobs_per_epoch=2,
         fused=True, chunk_c=2, lanes_w=128, table_tile=32,
+        cross_pipeline=True,
     )
     s = smod.Solver(cfg)
     assert s._pipelined
@@ -126,7 +128,7 @@ def test_pipelined_matches_unpipelined():
 
     kw = dict(w=64, htsz=6, n_offsets=256, jobs_per_epoch=2, fused=True,
               chunk_c=2, lanes_w=128, table_tile=32)
-    s_p = smod.Solver(smod.SolverConfig(**kw))
+    s_p = smod.Solver(smod.SolverConfig(cross_pipeline=True, **kw))
     s_d = smod.Solver(smod.SolverConfig(cross_pipeline=False, **kw),
                       baby=s_p.baby)
     assert s_p._pipelined and not s_d._pipelined
@@ -152,6 +154,7 @@ def test_pipelined_overflow_redispatch():
     cfg = smod.SolverConfig(
         w=64, htsz=6, n_offsets=64, jobs_per_epoch=2, fused=True,
         chunk_c=1, lanes_w=64, table_tile=32, hit_cap=8,
+        cross_pipeline=True,
     )
     s0 = smod.Solver(cfg)
     assert s0._pipelined
