@@ -38,6 +38,14 @@ from .utils import compile_cache
 compile_cache.enable()
 
 
+def rate_exponent(rate: float, w: int) -> int:
+    """floor(log2(effective keys/s)) for the progress line: rate
+    giant-steps/s covers rate * 2w keys/s; bit_length() alone overstates
+    by one (2^57.3 keys/s must print ~2^57, the reference's display
+    anchor, 1_9_7File.pb:5131-5135)."""
+    return max(0, int(rate * 2 * w).bit_length() - 1)
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="bsgs-tpu",
@@ -101,7 +109,17 @@ def main(argv=None) -> int:
 
         for i, d in enumerate(jax.devices()):
             print(f"device {i}: {d}")
-        print(tuner.tune().report())
+        # size w against the ACTUAL search range when given (the
+        # reference's Tune consumes the -pk/-pke range the same way,
+        # 1_9_7File.pb:324-431): a 2^30-range search caps w near 2^15,
+        # not at the HBM limit
+        range_bits = None
+        if args.pke is not None:
+            pk = codecs.parse_scalar(args.pk)
+            pke = codecs.parse_scalar(args.pke)
+            if pke > pk:
+                range_bits = (pke - pk).bit_length()
+        print(tuner.tune(range_bits=range_bits).report())
         return 0
 
     from .models import table as tbl
@@ -267,7 +285,7 @@ def main(argv=None) -> int:
             print(
                 f"\r  epoch {done}/{total}  "
                 f"{per_chip}{rate / 1e6:.2f} Mgsteps/s  "
-                f"(~2^{int(rate * 2 * _w).bit_length()} keys/s)",
+                f"(~2^{rate_exponent(rate, _w)} keys/s)",
                 end="", flush=True,
             )
 

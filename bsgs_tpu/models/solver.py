@@ -343,14 +343,21 @@ class Solver:
             )
             recs = np.asarray(idxs)
             recs = recs[recs != giant.FILL]
-            for flat in recs:
-                hits_checked += 1
-                code, t, j = giant.decode_flat_phased(
+            batch = [
+                (ctx,) + giant.decode_flat_phased(
                     int(flat), cfg.jobs_per_epoch, cfg.n_offsets,
                     self._phases,
                 )
-                k = checker.verify_hit(ctx, self.baby, code, t, j)
-                if k is not None and pk <= k <= pke:
+                for flat in recs
+            ]
+            # one batched verification per drain: all rescan position
+            # lookups across the epoch's hits share a single
+            # baby-stream regeneration pass (checker.verify_hits_batched)
+            keys, hits_checked = checker.verify_hits_batched(
+                batch, self.baby
+            )
+            for k in keys:
+                if pk <= k <= pke:
                     return k, gs, hits_checked
         return None, gs, hits_checked
 

@@ -123,6 +123,20 @@ class BabyTable:
         p = np.asarray(self.pos_sorted[l:r])
         return [int(v) for v, m in zip(p, d == np.uint32(disc)) if m]
 
+    def lookup_positions_batch(self, x_ints) -> dict:
+        """lookup_positions for MANY X prefixes at once, keyed by the
+        64-bit prefix. On rescan-mode tables (lookup_fn) the whole batch
+        shares ONE baby-stream regeneration pass — the per-call cost
+        (~30 s at w=2^30 on v5e) does not multiply with the hit count.
+        Other table kinds answer from host arrays per prefix (cheap)."""
+        pres = sorted({int(x) & ((1 << 64) - 1) for x in x_ints})
+        if not pres:
+            return {}
+        batch = getattr(self.lookup_fn, "batch", None)
+        if batch is not None:
+            return batch(pres)
+        return {p: self.lookup_positions(p) for p in pres}
+
 
 @dataclasses.dataclass
 class TableStats:
@@ -369,10 +383,16 @@ def make_rescan_lookup(w: int, tile: int = 1 << 20):
     host-link transfer) from the build entirely.
     """
 
+    # Up to 16 matching indices are returned per generated tile. The
+    # CSR/mirror lookup paths walk ALL duplicates; here the stream is
+    # matched on the full 64-bit prefix, so >16 duplicates inside one
+    # 2^20-point tile would need ~2^-64 collisions 17 times over —
+    # beyond astronomically unlikely (the birthday bound for even TWO
+    # 64-bit duplicates in a tile is ~2^-25).
     @jax.jit
     def _match(hi, lo, th, tl):
         m = (hi.reshape(-1) == th) & (lo.reshape(-1) == tl)
-        idx, = jnp.nonzero(m, size=4, fill_value=-1)
+        idx, = jnp.nonzero(m, size=16, fill_value=-1)
         return idx
 
     def lookup_many(pres) -> dict:

@@ -88,12 +88,15 @@ def _epoch_fn_sharded_table(mesh: Mesh, spec: st.ShardedTableSpec, *,
 
 
 def _epoch_fn_replicated_fused(mesh: Mesh, *, hit_cap, htsz, chunk_c,
-                               lanes_w, n_split, interpret):
+                               lanes_w, n_split, interpret, phases=1):
     """Fused Pallas epoch INSIDE shard_map with a replicated table: per
     chip, the EC math runs in the epoch kernels and the probes are local
     dense-row gathers — the same program as the single-chip hot path
     (round-3 fix: the mesh path must not fall back to the row-major XLA
-    body, whose EC math is ~100x slower; see ops/epoch_kernel.py)."""
+    body, whose EC math is ~100x slower; see ops/epoch_kernel.py).
+    ``phases`` staggers each chip's job batch exactly like the
+    single-chip path (+6% measured gather/EC overlap, PROFILE_r04 §2d);
+    hit indices then decode with decode_flat_phased."""
     from ..models import table as T
 
     def body(cx, cy, cinf, ox_pl, oy_pl, dense):
@@ -104,7 +107,7 @@ def _epoch_fn_replicated_fused(mesh: Mesh, *, hit_cap, htsz, chunk_c,
             cx, cy, cinf, ox_pl, oy_pl,
             probe_bd, probe_bd, lambda b, d: T.probe_keys(b, d, dense),
             htsz=htsz, chunk_c=chunk_c, lanes_w=lanes_w, hit_cap=hit_cap,
-            interpret=interpret,
+            interpret=interpret, phases=phases,
         )
         return _gathered(idxs, cnt)
 
@@ -122,10 +125,14 @@ def _epoch_fn_replicated_fused(mesh: Mesh, *, hit_cap, htsz, chunk_c,
 
 def _epoch_fn_sharded_fused(mesh: Mesh, spec: st.ShardedTableSpec, *,
                             hit_cap, htsz, chunk_c, lanes_w,
-                            interpret, routing: str = "all_gather"):
+                            interpret, routing: str = "all_gather",
+                            phases=1):
     """Fused Pallas epoch INSIDE shard_map with a bucket-sharded table:
     the kernels emit (bucket, disc) probe keys per chip; the three streams
-    are routed through the collective probe (all_gather or all_to_all)."""
+    are routed through the collective probe (all_gather or all_to_all).
+    ``phases`` staggers the jobs as on the single-chip path; each phase
+    runs its own probe collectives (the streams stay bulk-sized:
+    per-phase traffic is 1/phases of the epoch's)."""
     if routing == "all_to_all":
         probe_bd = st.make_alltoall_probe_bd(spec)
     else:
@@ -136,7 +143,7 @@ def _epoch_fn_sharded_fused(mesh: Mesh, spec: st.ShardedTableSpec, *,
         idxs, cnt = giant.fused_epoch_probes(
             cx, cy, cinf, ox_pl, oy_pl, fn, fn, fn,
             htsz=htsz, chunk_c=chunk_c, lanes_w=lanes_w, hit_cap=hit_cap,
-            interpret=interpret,
+            interpret=interpret, phases=phases,
         )
         return _gathered(idxs, cnt)
 
@@ -178,6 +185,10 @@ class MeshSolver(ssolver.Solver):
         # is one shard_map program per super-epoch
         self._pipelined = False
         self._prev = None
+        # within-epoch phase stagger carries over from the base solver
+        # (each chip staggers its local job batch; +6% on v5e,
+        # PROFILE_r04 §2d)
+        self._phases = base._phases if self.fused else 1
         self._interpret = base._interpret
         self.base = base
         self.mesh = mesh
@@ -215,6 +226,7 @@ class MeshSolver(ssolver.Solver):
                 kw = dict(
                     hit_cap=hit_cap, htsz=cfg.htsz, chunk_c=cfg.chunk_c,
                     lanes_w=cfg.lanes_w, interpret=self._interpret,
+                    phases=self._phases,
                 )
                 if self.shard_baby_table:
                     fn = _epoch_fn_sharded_fused(
@@ -276,7 +288,7 @@ class MeshSolver(ssolver.Solver):
         cnt = np.asarray(cnt)
         buf = np.asarray(buf).reshape(self.n_chips, -1)
         cap = buf.shape[1]
-        hits_checked = 0
+        batch = []
         for chip in range(self.n_chips):
             c = int(cnt[chip])
             if c == 0:
@@ -289,14 +301,20 @@ class MeshSolver(ssolver.Solver):
             )
             recs = buf[chip]
             recs = recs[recs != giant.FILL]
-            for flat in recs:
-                hits_checked += 1
-                code, t, j = giant.decode_flat(
-                    int(flat), cfg.jobs_per_epoch, cfg.n_offsets
+            batch.extend(
+                (ctx,) + giant.decode_flat_phased(
+                    int(flat), cfg.jobs_per_epoch, cfg.n_offsets,
+                    self._phases,
                 )
-                k = checker.verify_hit(ctx, self.baby, code, t, j)
-                if k is not None and pk <= k <= pke:
-                    return k, gs, hits_checked
+                for flat in recs
+            )
+        if not batch:
+            return None, gs, 0
+        # pooled across chips AND hits: one rescan regeneration per drain
+        keys, hits_checked = checker.verify_hits_batched(batch, self.baby)
+        for k in keys:
+            if pk <= k <= pke:
+                return k, gs, hits_checked
         return None, gs, hits_checked
 
     def _total_epochs(self, pk: int, pke: int) -> int:

@@ -116,6 +116,16 @@ def load_baby_table(path: str, spot_checks: int = 8,
             sorted_pre=sorted_pre,
         )
     elif kind in ("streamed", "streamed-rescan"):
+        # streamed artifacts store the dense matrix verbatim (the full
+        # prefix stream was never materialized), so a wider window cannot
+        # be re-derived on load — refuse loudly instead of silently
+        # returning a narrower table than the caller's scan expects
+        if window > int(z["window"]):
+            raise ValueError(
+                f"streamed artifact {path} has window={int(z['window'])} "
+                f"< requested {window}; rebuild it (--gen-only) at the "
+                f"wider window — streamed tables cannot re-derive rows"
+            )
         table = tbl.BabyTable(
             w=int(z["w"]),
             htsz=htsz,

@@ -124,6 +124,67 @@ def test_epoch_striping_covers_range():
     assert found == [k]
 
 
+def test_drain_batches_rescan_lookups():
+    """A drain with several simultaneous hits on a rescan-mode table must
+    resolve ALL position lookups in ONE generation pass (round-4 item 5:
+    at w=2^30 each pass costs ~30 s, so per-hit passes would multiply).
+    Three false-positive probe hits are planted in the dense matrix next
+    to one real key; the counted lookup batch must run exactly once."""
+    from bsgs_tpu.models import table as tbl
+
+    cfg = solver.SolverConfig(
+        w=256, htsz=6, n_offsets=8, jobs_per_epoch=4, window=16,
+        chunk=16, table_tile=64, positions="rescan",
+    )
+    baby = tbl.build_baby_table_streamed(
+        256, 6, window=16, tile=32, chunk=64, positions="rescan"
+    )
+    assert baby.lookup_fn is not None
+    s = solver.Solver(cfg, baby=baby)
+    pk = 1 << 20
+    k = pk + 30_000  # inside epoch 0
+    pub = ecpy.mul(k)
+    q0 = ecpy.sub(pub, ecpy.mul(pk))
+
+    # plant false-positive probe entries for three epoch-0 landings: the
+    # probes hit, the rescan lookup finds no matching baby index, the
+    # checker rejects — but all three lookups must share one pass
+    dense = np.asarray(baby.dense).copy()
+    mask64 = (1 << 64) - 1
+    for m in (5, 23, 40):
+        landing = ecpy.sub(q0, ecpy.mul(m * cfg.stride))
+        pre = landing[0] & mask64
+        bucket = pre >> (64 - cfg.htsz)
+        disc = (pre >> (32 - cfg.htsz)) & 0xFFFFFFFF
+        row = dense[bucket]
+        free = np.where(row == tbl.DENSE_FILL)[0]
+        assert free.size, "no free slot to plant a false positive"
+        dense[bucket, free[0]] = np.uint32(disc)
+    import jax.numpy as jnp
+
+    baby.dense = jnp.asarray(dense)
+
+    calls = {"batch": 0, "single": 0}
+    orig = baby.lookup_fn
+
+    def counting(pre):
+        calls["single"] += 1
+        return orig(pre)
+
+    def counting_batch(pres):
+        calls["batch"] += 1
+        return orig.batch(pres)
+
+    counting.batch = counting_batch
+    baby.lookup_fn = counting
+
+    res = s.solve(pub, pk, pk + cfg.keys_per_epoch - 1, max_epochs=1)
+    assert res.key == k
+    assert res.hits_checked >= 4  # 3 planted false positives + the key
+    assert calls["batch"] == 1, "drain must batch lookups into one pass"
+    assert calls["single"] == 0
+
+
 def test_random_keys(rng):
     s = get_solver()
     pk = 10_000_000

@@ -175,6 +175,47 @@ def test_tuner_range_cap():
     assert t.w <= 1 << 16
 
 
+def test_artifact_streamed_window_refuses(tmp_path):
+    """Streamed artifacts cannot re-derive a wider dense row on load —
+    the request must fail loudly, not silently return a narrower table
+    (round-4 item 9)."""
+    table = tbl.build_baby_table_streamed(64, 5, window=16, tile=16,
+                                          chunk=32)
+    path = str(tmp_path / "st.npz")
+    artifacts.save_baby_table(table, path)
+    with pytest.raises(ValueError, match="window"):
+        artifacts.load_baby_table(path, window=32)
+    # equal or smaller requests still load fine
+    assert artifacts.load_baby_table(path, window=16).window == 16
+
+
+def test_cli_tune_consumes_range(capsys):
+    """--tune with --pk/--pke must size w against the actual range
+    (round-4 item 8): a 2^34 range caps w near 2^17, far below the HBM
+    limit the range-less tune suggests."""
+    from bsgs_tpu import cli
+
+    assert cli.main(["--tune", "--pk", "1", "--pke", "3ffffffff"]) == 0
+    ranged = capsys.readouterr().out
+    assert "--w 131072 " in ranged
+    assert cli.main(["--tune"]) == 0
+    unranged = capsys.readouterr().out
+    w_unranged = int(unranged.split("--w ")[1].split()[0])
+    assert w_unranged >= 1 << 26
+
+
+def test_cli_rate_exponent():
+    """A true ~2^57.3 keys/s rate must print ~2^57, not 2^58 (round-4
+    item 8: the reference's display is the comparison anchor)."""
+    from bsgs_tpu import cli
+
+    w = 1 << 30
+    rate = (2 ** 57.3) / (2 * w)  # giant-steps/s giving 2^57.3 keys/s
+    assert cli.rate_exponent(rate, w) == 57
+    assert cli.rate_exponent(2 ** 56 / (2 * w), w) == 56
+    assert cli.rate_exponent(0.0, w) == 0
+
+
 def test_native_pack_matches_numpy(rng):
     from bsgs_tpu.utils import native
 
