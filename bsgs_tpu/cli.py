@@ -231,7 +231,21 @@ def main(argv=None) -> int:
             print(f"device {i}: {d}{mark}")
         print(f"building baby table: w={w} htsz={htsz} ...")
 
-    if jax.default_backend() == "tpu":
+    # device_ids always routes through the mesh path, even for one chip:
+    # a plain Solver would ignore the selection and run on the default
+    # device (mesh(1 chip) measures within ~9% of single-chip, PROFILE_r04)
+    use_mesh = n_devices > 1 or args.shard_table or device_ids is not None
+    m = None
+    if use_mesh:
+        from .parallel import mesh as pmesh, striped
+        m = pmesh.make_mesh(n_devices or None, device_ids=device_ids)
+
+    if args.shard_table and m is not None and m.devices.size > 1:
+        # bucket-range sharded build DIRECTLY on the mesh: each chip
+        # scatters its own row slice, so the table may exceed one chip's
+        # HBM (the guard in build_table sizes against the PER-CHIP slice)
+        baby = smod.build_table(cfg, mesh=m)
+    elif jax.default_backend() == "tpu":
         # on-device pack: regeneration beats any transfer on TPU
         baby = smod.build_table(cfg)
     else:
@@ -243,12 +257,7 @@ def main(argv=None) -> int:
     s = smod.Solver(cfg, baby=baby)
 
     n_chips = 1
-    # device_ids always routes through the mesh path, even for one chip:
-    # a plain Solver would ignore the selection and run on the default
-    # device (mesh(1 chip) measures within ~9% of single-chip, PROFILE_r04)
-    if n_devices > 1 or args.shard_table or device_ids is not None:
-        from .parallel import mesh as pmesh, striped
-        m = pmesh.make_mesh(n_devices or None, device_ids=device_ids)
+    if use_mesh:
         # MeshSolver shares Solver's loop: resume/checkpoint/progress all
         # work identically on the mesh path
         s = striped.MeshSolver(s, m, shard_baby_table=args.shard_table)

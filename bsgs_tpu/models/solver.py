@@ -113,21 +113,54 @@ class SolveResult:
     hits_checked: int
 
 
-def build_table(cfg: SolverConfig) -> tbl.BabyTable:
+def check_table_fits(dense_bytes: int, mem_bytes: Optional[int] = None,
+                     n_shards: int = 1) -> None:
+    """Refuse dense tables beyond the PER-CHIP HBM budget (total HBM from
+    the tuner's device query, minus a reserve for scan transients and XLA
+    scratch). With n_shards > 1 the budget applies to each chip's bucket
+    range, so a sharded build legitimately exceeds one chip."""
+    from ..utils import tuner
+
+    if mem_bytes is None:
+        mem_bytes = tuner.device_memory_bytes()
+    budget = mem_bytes - 3 * (1 << 30)
+    per_chip = -(-dense_bytes // max(1, n_shards))
+    if per_chip > budget:
+        hint = (
+            "use --shard-table over a mesh to split the table across "
+            "chips (parallel/sharded_table.py)"
+            if n_shards == 1
+            else f"this mesh's {n_shards} chips still hold "
+            f"{per_chip / 2**30:.1f} GiB each — use more chips"
+        )
+        raise ValueError(
+            f"dense table ({dense_bytes / 2**30:.1f} GiB) exceeds the "
+            f"{budget / 2**30:.1f} GiB per-chip budget "
+            f"({mem_bytes / 2**30:.0f} GiB HBM - 3 GiB scan reserve); "
+            + hint
+        )
+
+
+def build_table(cfg: SolverConfig, mesh=None) -> tbl.BabyTable:
     """Default table build for a config: on-device pack on TPU (no host
-    round-trips), host pack elsewhere (CPU tests need sorted_pre)."""
+    round-trips), host pack elsewhere (CPU tests need sorted_pre).
+
+    ``mesh`` requests a bucket-range SHARDED build over its chips (the
+    --shard-table path): each chip's row slice is scattered directly on
+    that chip, so the full dense matrix never exists on any single
+    device and w can exceed the single-chip HBM ceiling.
+    """
     import jax
 
+    dense_bytes = (1 << cfg.htsz) * cfg.window * 4
+    if mesh is not None and mesh.devices.size > 1:
+        check_table_fits(dense_bytes, n_shards=mesh.devices.size)
+        return tbl.build_baby_table_streamed_sharded(
+            cfg.w, cfg.htsz, mesh, window=cfg.window,
+            positions=cfg.positions,
+        )
     if jax.default_backend() == "tpu":
-        dense_bytes = (1 << cfg.htsz) * cfg.window * 4
-        if dense_bytes > 13 * (1 << 30):  # leave room for scan transients
-            raise ValueError(
-                f"dense table ({dense_bytes / 2**30:.1f} GiB at "
-                f"htsz={cfg.htsz}, window={cfg.window}) exceeds one "
-                f"chip's HBM; single-chip w tops out near 2^30.5 — use "
-                f"--shard-table over a mesh to split the table across "
-                f"chips (parallel/sharded_table.py)"
-            )
+        check_table_fits(dense_bytes)
         if cfg.w >= 1 << 28:
             # big-w: incremental scatter keeps peak HBM at dense + 1 chunk
             return tbl.build_baby_table_streamed(

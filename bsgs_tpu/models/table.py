@@ -91,6 +91,12 @@ class BabyTable:
     # from host RAM entirely (no 8 B/key mirror); costs one w-point
     # regeneration pass per *hit*, and hits are rare.
     lookup_fn: Optional[object] = None
+    # build_baby_table_streamed_sharded: dense is a GLOBAL jax.Array
+    # bucket-range-sharded over this many mesh chips (each holds
+    # 2^htsz / n rows); the full matrix never exists on one device.
+    # Single-chip probes of such a table are invalid — parallel.striped
+    # routes probes collectively instead.
+    n_table_shards: int = 1
 
     def lookup_positions(self, x_int: int) -> list[int]:
         """All baby indices whose X-coordinate prefix matches that of x_int
@@ -510,6 +516,131 @@ def build_baby_table_streamed(
         offsets=offsets, disc_sorted=None, pos_sorted=None,
         dense=dense, sorted_pre=None, pos_dense=pos_dense,
         lookup_fn=None if mirror else make_rescan_lookup(w, tile),
+    )
+
+
+@partial(jax.jit, static_argnames=("htsz", "window", "bps"),
+         donate_argnums=(2, 3))
+def _chunk_scatter_shard(hi, lo, dense, counts, base, row0,
+                         *, htsz: int, window: int, bps: int):
+    """_chunk_scatter for ONE bucket-range shard: identical rank logic,
+    but only entries whose bucket lies in [row0, row0 + bps) land; the
+    rest scatter to the OOB drop row. Runs on the shard's own device
+    (jit follows the donated dense/counts placement)."""
+    m = hi.shape[0]
+    bucket, disc = bucket_disc(hi, lo, htsz)
+    pos = base + jnp.arange(1, m + 1, dtype=_U32)
+    sb, sd, sp = jax.lax.sort((bucket, disc, pos), num_keys=1)
+    idx = jnp.arange(m, dtype=_U32)
+    is_start = jnp.concatenate([jnp.ones(1, bool), sb[1:] != sb[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(is_start, idx, _U32(0)))
+    local = sb - row0  # u32 wrap puts foreign buckets far above bps
+    mine = local < _U32(bps)
+    cnt_prev = counts[jnp.where(mine, local, _U32(0))]
+    rank = idx - seg_start + cnt_prev
+    valid = mine & (rank < _U32(window))
+    row = jnp.where(valid, local, _U32(bps))  # OOB row -> drop
+    col = jnp.where(valid, rank, _U32(0))
+    dense = dense.at[row, col].set(sd, mode="drop")
+    counts = counts.at[jnp.where(mine, local, _U32(bps))].add(
+        _U32(1), mode="drop"
+    )
+    return dense, counts
+
+
+def build_baby_table_streamed_sharded(
+    w: int,
+    htsz: Optional[int] = None,
+    mesh=None,
+    window: int = DEVICE_WINDOW,
+    tile: int = 1 << 20,
+    chunk: int = 1 << 24,
+    positions: str = "rescan",
+) -> BabyTable:
+    """Streamed big-w build DIRECTLY into bucket-range shards across a
+    mesh: chip s owns rows [s*bps, (s+1)*bps) of the dense matrix, each
+    generated chunk is broadcast to every chip and scattered into its own
+    slice, and the full (2^htsz, window) matrix never exists on any one
+    device — this is how --shard-table exceeds the single-chip HBM
+    ceiling (the round-4 guard pointed here but no builder existed).
+    The reference has no analog: it replicates the whole packed table
+    per GPU (1_9_7File.pb:2350-2353), capping w at one card's VRAM.
+
+    Positions are rescan-only (a host mirror at beyond-HBM w defeats the
+    point). Single-process meshes only for now (every chunk is broadcast
+    from the generating device).
+    """
+    from ..parallel.mesh import CHIPS_AXIS  # lazy: avoid import cycle
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    assert mesh is not None, "sharded build needs a mesh"
+    if htsz is None:
+        htsz = pick_htsz(w, window)
+    devices = list(mesh.devices.flatten())
+    n = len(devices)
+    nb = 1 << htsz
+    assert nb % n == 0, "htsz must cover the mesh evenly"
+    bps = nb // n
+    dense_s = [
+        jax.device_put(jnp.full((bps + 1, window), jnp.asarray(DENSE_FILL)),
+                       d)
+        for d in devices
+    ]
+    counts_s = [
+        jax.device_put(jnp.zeros((bps + 1,), _U32), d) for d in devices
+    ]
+
+    buf_h, buf_l, have, base = [], [], 0, 0
+
+    def flush():
+        nonlocal base, buf_h, buf_l, have
+        hi = jnp.concatenate(buf_h) if len(buf_h) > 1 else buf_h[0]
+        lo = jnp.concatenate(buf_l) if len(buf_l) > 1 else buf_l[0]
+        for s, d in enumerate(devices):
+            hs = jax.device_put(hi, d)
+            ls = jax.device_put(lo, d)
+            dense_s[s], counts_s[s] = _chunk_scatter_shard(
+                hs, ls, dense_s[s], counts_s[s], np.uint32(base),
+                np.uint32(s * bps), htsz=htsz, window=window, bps=bps,
+            )
+        base += have
+        buf_h, buf_l, have = [], [], 0
+
+    gen = (
+        _prefix_tiles_planar(w, tile)
+        if jax.default_backend() == "tpu"
+        else _prefix_tiles(w, min(tile, 1 << 14))
+    )
+    for hi, lo in gen:
+        buf_h.append(hi.reshape(-1))
+        buf_l.append(lo.reshape(-1))
+        have += hi.shape[-1]
+        if have >= chunk:
+            flush()
+    if have:
+        flush()
+
+    counts_h = np.concatenate([np.asarray(c)[:bps] for c in counts_s])
+    maxb = int(counts_h.max())
+    if maxb > window:
+        raise ValueError(
+            f"bucket overflow: max bucket {maxb} > window {window}; "
+            f"raise htsz (now {htsz}) or window"
+        )
+    offsets = np.concatenate(
+        [np.zeros(1, np.uint32),
+         np.cumsum(counts_h, dtype=np.uint64).astype(np.uint32)]
+    )
+    sharding = NamedSharding(mesh, PartitionSpec(CHIPS_AXIS))
+    dense = jax.make_array_from_single_device_arrays(
+        (nb, window), sharding, [d[:bps] for d in dense_s]
+    )
+    return BabyTable(
+        w=w, htsz=htsz, window=window,
+        offsets=offsets, disc_sorted=None, pos_sorted=None,
+        dense=dense, sorted_pre=None,
+        lookup_fn=make_rescan_lookup(w, tile),
+        n_table_shards=n,
     )
 
 

@@ -46,22 +46,40 @@ class ShardedTableSpec:
         return (1 << self.htsz) // self.n_shards
 
 
-def shard_table(table: BabyTable, n_shards: int) -> ShardedTableSpec:
-    """Split a packed table into bucket-range shards (host-side)."""
+def _shard_entries(table: BabyTable, n_shards: int) -> np.ndarray:
     nb = 1 << table.htsz
     assert nb % n_shards == 0, "htsz must cover n_shards evenly"
     bps = nb // n_shards
     off = np.asarray(table.offsets).astype(np.int64)
-    entries = np.array(
+    return np.array(
         [off[(s + 1) * bps] - off[s * bps] for s in range(n_shards)],
         dtype=np.int64,
     )
+
+
+def shard_table(table: BabyTable, n_shards: int) -> ShardedTableSpec:
+    """Split a packed table into bucket-range shards (host-side)."""
     return ShardedTableSpec(
         htsz=table.htsz,
         window=table.window,
         n_shards=n_shards,
         dense=np.asarray(table.dense),
-        shard_entries=entries,
+        shard_entries=_shard_entries(table, n_shards),
+    )
+
+
+def spec_from_presharded(table: BabyTable) -> ShardedTableSpec:
+    """Spec for a table built ALREADY bucket-range-sharded over a mesh
+    (models/table.build_baby_table_streamed_sharded): table.dense is the
+    global sharded jax.Array — never materialized on the host, which is
+    the point (it may exceed any single chip's HBM)."""
+    assert table.n_table_shards > 1
+    return ShardedTableSpec(
+        htsz=table.htsz,
+        window=table.window,
+        n_shards=table.n_table_shards,
+        dense=table.dense,  # global sharded jax.Array, NOT host numpy
+        shard_entries=_shard_entries(table, table.n_table_shards),
     )
 
 

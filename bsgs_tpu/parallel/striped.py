@@ -209,7 +209,18 @@ class MeshSolver(ssolver.Solver):
             self._oy_g = self._place(self.oy, self._replicated)
         self._epoch_fns = {}  # hit_cap -> compiled epoch fn
         if shard_baby_table:
-            spec = st.shard_table(self.baby, self.n_chips)
+            if self.baby.n_table_shards > 1:
+                # table was BUILT sharded over this mesh (the beyond-HBM
+                # path): adopt its global array, never touch the host
+                if self.baby.n_table_shards != self.n_chips:
+                    raise ValueError(
+                        f"table is sharded over "
+                        f"{self.baby.n_table_shards} chips but the mesh "
+                        f"has {self.n_chips}"
+                    )
+                spec = st.spec_from_presharded(self.baby)
+            else:
+                spec = st.shard_table(self.baby, self.n_chips)
             self._spec = spec
             self._dense_g = self._place(spec.dense, self._sharding)
         else:

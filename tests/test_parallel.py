@@ -366,6 +366,70 @@ def test_mesh_hit_overflow_redispatch():
     assert res.hits_checked > 8 * cfg.hit_cap
 
 
+def test_sharded_streamed_build_matches_host():
+    """build_baby_table_streamed_sharded scatters each chunk into
+    per-device bucket-range slices; the assembled global dense must hold
+    exactly the host build's entries per row (order within a row may
+    differ — chunk order vs disc order)."""
+    mesh = pmesh.make_mesh(8)
+    sh = tbl.build_baby_table_streamed_sharded(256, 6, mesh, window=16,
+                                               tile=32, chunk=64)
+    assert sh.n_table_shards == 8
+    host = tbl.build_baby_table(256, 6, window=16, tile=64)
+    ds, dh = np.asarray(sh.dense), np.asarray(host.dense)
+    for r in range(64):
+        assert (sorted(ds[r][ds[r] != tbl.DENSE_FILL].tolist())
+                == sorted(dh[r][dh[r] != tbl.DENSE_FILL].tolist())), r
+    np.testing.assert_array_equal(sh.offsets, host.offsets)
+
+
+def test_mesh_solve_sharded_streamed_build():
+    """--shard-table end-to-end on a table BUILT sharded over the mesh
+    (the beyond-single-chip-HBM path; round-4 ADVICE: the escape hatch
+    must be reachable)."""
+    mesh = pmesh.make_mesh(8)
+    cfg = smod.SolverConfig(
+        w=256, htsz=6, n_offsets=8, jobs_per_epoch=2, window=16, chunk=16,
+        hit_cap=128, table_tile=64,
+    )
+    baby = smod.build_table(cfg, mesh=mesh)
+    assert baby.n_table_shards == 8
+    s = smod.Solver(cfg, baby=baby)
+    ms = striped.MeshSolver(s, mesh, shard_baby_table=True)
+    assert ms._spec.n_shards == 8
+    pk = 1 << 21
+    k = pk + 250_001
+    res = ms.solve(ecpy.mul(k), pk, pk + (1 << 18))
+    assert res.key == k
+
+
+def test_presharded_mesh_size_mismatch():
+    mesh = pmesh.make_mesh(8)
+    cfg = smod.SolverConfig(
+        w=256, htsz=6, n_offsets=8, jobs_per_epoch=2, window=16, chunk=16,
+        hit_cap=128, table_tile=64,
+    )
+    baby = smod.build_table(cfg, mesh=mesh)
+    s = smod.Solver(cfg, baby=baby)
+    with pytest.raises(ValueError, match="sharded over"):
+        striped.MeshSolver(s, pmesh.make_mesh(4), shard_baby_table=True)
+
+
+def test_check_table_fits():
+    """The HBM guard derives from device memory and accounts for table
+    sharding (round-4 ADVICE items: hardcoded 13 GiB; unreachable
+    --shard-table hatch)."""
+    smod.check_table_fits(10 << 30, mem_bytes=16 << 30)
+    with pytest.raises(ValueError, match="shard-table"):
+        smod.check_table_fits(14 << 30, mem_bytes=16 << 30)
+    # sharded over 4 chips the same table fits per chip
+    smod.check_table_fits(40 << 30, mem_bytes=16 << 30, n_shards=4)
+    with pytest.raises(ValueError, match="more chips"):
+        smod.check_table_fits(120 << 30, mem_bytes=16 << 30, n_shards=4)
+    # bigger-HBM chips take bigger single-chip tables
+    smod.check_table_fits(20 << 30, mem_bytes=32 << 30)
+
+
 def test_mesh_solve_alltoall(base_solver):
     mesh = pmesh.make_mesh(8)
     ms = striped.MeshSolver(base_solver, mesh, shard_baby_table=True,

@@ -148,6 +148,41 @@ def probe_layouts(w_bits=26, n_probes=1 << 21,
               f"MiB): {dt / n_probes * 1e9:6.2f} ns/probe", flush=True)
 
 
+def dmaprobe(htsz=20, n_probes=1 << 18, groups=(128, 256, 512)):
+    """Pallas in-kernel DMA probe vs the XLA gather probe, same table
+    and key stream (round-5 item 2a: is the ~9.5 ns/probe floor XLA's
+    descriptor path or the hardware's?)."""
+    import jax
+    import jax.numpy as jnp
+    from bsgs_tpu.models import table as T
+    from bsgs_tpu.ops.probe_kernel import probe_rows_dma
+
+    rng = np.random.default_rng(4)
+    rows = 1 << htsz
+    dense = jnp.asarray(
+        rng.integers(0, 1 << 32, (rows, 128), dtype=np.uint32)
+    )
+    bucket = jnp.asarray(rng.integers(0, rows, n_probes).astype(np.uint32))
+    disc = jnp.asarray(rng.integers(0, 1 << 32, n_probes, dtype=np.uint32))
+
+    @jax.jit
+    def xla8(b, d, t):
+        return T.probe_keys_split(b, d, t, n_split=8)
+
+    dt = _time(xla8, bucket, disc, dense)
+    print(f"XLA gather n_split=8   : {dt / n_probes * 1e9:6.2f} ns/probe")
+    for g in groups:
+        fn = jax.jit(lambda b, d, t, g=g: probe_rows_dma(b, d, t, group=g))
+        try:
+            dt = _time(fn, bucket, disc, dense)
+        except Exception as e:  # Mosaic limits (SMEM, sem count) vary
+            print(f"pallas DMA group={g:4d}: FAILED {type(e).__name__}: "
+                  f"{str(e)[:200]}")
+            continue
+        print(f"pallas DMA group={g:4d}: {dt / n_probes * 1e9:6.2f} "
+              f"ns/probe", flush=True)
+
+
 def epoch(w_bits=26, n_offsets=1 << 18, jobs=8, n_split=8):
     from bsgs_tpu.models import solver as smod
     from bsgs_tpu.utils import ecpy
@@ -169,7 +204,8 @@ def epoch(w_bits=26, n_offsets=1 << 18, jobs=8, n_split=8):
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("sub", choices=["gather", "memops", "probe", "epoch"])
+    p.add_argument("sub", choices=["gather", "memops", "probe", "epoch",
+                                   "dmaprobe"])
     p.add_argument("--w-bits", type=int, default=26)
     p.add_argument("--n-probes", type=int, default=1 << 21)
     args = p.parse_args()
@@ -179,6 +215,8 @@ def main():
         memops()
     elif args.sub == "probe":
         probe_layouts(w_bits=args.w_bits, n_probes=args.n_probes)
+    elif args.sub == "dmaprobe":
+        dmaprobe(n_probes=args.n_probes)
     else:
         epoch(w_bits=args.w_bits)
 
