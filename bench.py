@@ -99,23 +99,69 @@ def main():
     res = s.solve(pub, pk, pk + cfg.keys_per_epoch - 1, max_epochs=1)
     t_epoch_warm = time.time() - t0
 
-    # Stage 4 — the timed scan: best of BENCH_REPS runs. The bench
-    # transport's throughput fluctuates run to run (identical configs
-    # measured 31-65 M steps/s minutes apart, PROFILE_r04 §3); the best
-    # of a few short runs estimates steady-state device throughput
-    # rather than transport luck.
+    # Stage 4 — the timed scan: best AND median of BENCH_REPS runs. The
+    # bench transport's throughput fluctuates run to run (identical
+    # configs measured 31-65 M steps/s minutes apart, PROFILE_r04 §3);
+    # best estimates steady-state device throughput, median shows how
+    # much of the headline is transport luck (round-4 review item 5).
     epochs = int(os.environ.get("BENCH_EPOCHS", "8"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    rate, dt = 0.0, 0.0
+    rates = []
     for _ in range(reps):
         t0 = time.time()
         res = s.solve(
             pub, pk, pk + epochs * cfg.keys_per_epoch - 1,
             max_epochs=epochs,
         )
-        d = time.time() - t0
-        if res.giant_steps / d > rate:
-            rate, dt = res.giant_steps / d, d
+        rates.append(res.giant_steps / (time.time() - t0))
+    rate = max(rates)
+    median = sorted(rates)[len(rates) // 2]
+    dt = res.giant_steps / rate
+
+    # Stage 5 — production-scale stanza (round-4 item 6): the tuner's own
+    # 16 GiB suggestion, w = 1.5 * 2^30 on 2 KB rows (PROFILE_r05 §5),
+    # streamed rescan build. Regression-guards the big-w path that was
+    # previously prose-only.
+    big = None
+    if (os.environ.get("BENCH_BIG", "1") == "1"
+            and jax.default_backend() == "tpu"):
+        from bsgs_tpu.models import table as tbl
+
+        del s, baby  # free the w=2^26 working set before the 8 GiB build
+        # the tuner's own 16 GiB pick: 512-lane rows at load 384
+        big_w, big_htsz, big_window = (1 << 30) + (1 << 29), 22, 512
+        t0 = time.time()
+        bbaby = tbl.build_baby_table_streamed(
+            big_w, big_htsz, window=big_window, positions="rescan"
+        )
+        np.asarray(bbaby.dense[0, :1])
+        t_big_build = time.time() - t0
+        bcfg = smod.SolverConfig(
+            w=big_w, htsz=big_htsz, window=big_window,
+            n_offsets=N_OFFSETS, jobs_per_epoch=JOBS,
+            n_split=N_SPLIT, pipeline=PIPELINE,
+        )
+        bs = smod.Solver(bcfg, baby=bbaby)
+        bpk = 1 << 60
+        bs.solve(pub, bpk, bpk + bcfg.keys_per_epoch - 1, max_epochs=1)
+        brate = 0.0
+        for _ in range(max(2, reps - 1)):
+            t0 = time.time()
+            bres = bs.solve(
+                pub, bpk, bpk + 6 * bcfg.keys_per_epoch - 1, max_epochs=6
+            )
+            brate = max(brate, bres.giant_steps / (time.time() - t0))
+        big = {
+            "w_bits": 30.58,
+            "htsz": big_htsz,
+            "window": big_window,
+            "build_s": round(t_big_build, 1),
+            "steps_per_s": round(brate, 1),
+            "effective_keys_per_s": brate * 2 * big_w,
+            "effective_keys_exp": max(
+                0, int(brate * 2 * big_w).bit_length() - 1),
+        }
+
     print(
         json.dumps(
             {
@@ -136,7 +182,9 @@ def main():
                     "table_build_s": round(t_table, 1),
                     "epoch_warmup_s": round(t_epoch_warm, 1),
                     "scan_s": round(dt, 2),
+                    "scan_median_steps_per_s": round(median, 1),
                     "effective_keys_per_s": rate * 2 * w,
+                    "big_w": big,
                     "device": str(jax.devices()[0]),
                 },
             }

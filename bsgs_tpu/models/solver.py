@@ -66,6 +66,10 @@ class SolverConfig:
     # the reference's -sf file-probe mode, 1_9_7File.pb:907-918,3232-3444),
     # "auto" picks rescan at w >= 2^28
     positions: str = "auto"
+    # drains to pool before verifying accumulated hits (rescan-mode
+    # tables only — their per-batch verification costs a full baby
+    # regeneration pass; see Solver.solve). 0 = verify every drain.
+    verify_defer_epochs: int = 64
     # cross-epoch software pipelining (fused path): each program probes the
     # PREVIOUS epoch's keys while computing this epoch's EC
     # (giant.pipelined_step). Measured on v5e: ~13% SLOWER than the direct
@@ -360,15 +364,16 @@ class Solver:
         gs = (2 * cfg.n_offsets + 1) * cfg.jobs_per_epoch
         return epoch, first_job, idxs, cnt, gs
 
-    def _drain(self, pub, pk: int, pke: int, rec):
-        """Force one in-flight epoch's results to the host and verify any
-        hits. Returns (key or None, giant_steps, hits_checked)."""
+    def _collect(self, pub, pk: int, rec):
+        """Force one in-flight epoch's results to the host and DECODE any
+        hits (no verification). Returns (hit records, giant_steps);
+        raises HitOverflow when the device buffer was too small."""
         cfg = self.cfg
         _, first_job, idxs, cnt, gs = rec
         cnt = int(cnt)
-        hits_checked = 0
         if cnt > np.asarray(idxs).shape[-1]:
             raise HitOverflow(cnt)
+        batch = []
         if cnt:
             ctx = checker.HitContext(
                 q=pub, pk=pk, s=cfg.stride, n=cfg.n_offsets,
@@ -383,16 +388,29 @@ class Solver:
                 )
                 for flat in recs
             ]
-            # one batched verification per drain: all rescan position
-            # lookups across the epoch's hits share a single
-            # baby-stream regeneration pass (checker.verify_hits_batched)
-            keys, hits_checked = checker.verify_hits_batched(
-                batch, self.baby
-            )
-            for k in keys:
-                if pk <= k <= pke:
-                    return k, gs, hits_checked
-        return None, gs, hits_checked
+        return batch, gs
+
+    def _verify(self, pending, pk: int, pke: int):
+        """One batched verification of accumulated hit records: ALL
+        rescan position lookups share a single baby-stream regeneration
+        pass (checker.verify_hits_batched). Returns (key or None,
+        hits_checked)."""
+        keys, hits_checked = checker.verify_hits_batched(
+            pending, self.baby
+        )
+        for k in keys:
+            if pk <= k <= pke:
+                return k, hits_checked
+        return None, hits_checked
+
+    def _drain(self, pub, pk: int, pke: int, rec):
+        """_collect + immediate _verify (kept for tests/tools; the solve
+        loop defers verification on rescan tables — see solve)."""
+        batch, gs = self._collect(pub, pk, rec)
+        if not batch:
+            return None, gs, 0
+        key, hc = self._verify(batch, pk, pke)
+        return key, gs, hc
 
     # -- main loop ----------------------------------------------------------
     def solve(
@@ -447,6 +465,32 @@ class Solver:
         def pending_flush():
             return self._pipelined and self._prev is not None
 
+        # Deferred hit verification (the TPU form of the reference's
+        # ASYNC checkerThread, 1_9_7File.pb:3933): on rescan-mode tables
+        # a single position lookup costs a full baby-stream regeneration
+        # (~w/43.6M seconds), and at big w the 54-bit probe certainty
+        # false-positives every few epochs — verifying per drain would
+        # collapse throughput ~50x (measured 0.3 M steps/s at
+        # w=1.5*2^30, PROFILE_r05 §6). Hits are therefore POOLED for up
+        # to verify_defer_epochs drains and resolved in ONE batched
+        # regeneration pass; checkpoint/progress callbacks trail
+        # verification so resume never skips an unverified epoch.
+        defer = (
+            max(0, cfg.verify_defer_epochs)
+            if self.baby.lookup_fn is not None else 0
+        )
+        pending = []
+        first_pending = 0
+        cb_queue = []  # (epoch, steps) awaiting verification
+
+        def fire_callbacks():
+            while cb_queue:
+                e0, st0 = cb_queue.pop(0)
+                if on_epoch is not None:
+                    on_epoch(e0, st0)
+                if progress is not None:
+                    progress(e0 + 1, total_epochs, st0, time.time() - t0)
+
         while may_dispatch() or inflight or pending_flush():
             while may_dispatch() and len(inflight) < depth:
                 inflight.append(self._dispatch(q0, epoch))
@@ -458,7 +502,7 @@ class Solver:
             e = rec[0]
             while True:
                 try:
-                    key, gs, hc = self._drain(pub, pk, pke, rec)
+                    batch, gs = self._collect(pub, pk, rec)
                     break
                 except HitOverflow as ov:
                     # re-run this epoch with a buffer that fits (rare:
@@ -466,17 +510,23 @@ class Solver:
                     cap = 1 << max(ov.count.bit_length() + 1, 8)
                     rec = self._redispatch(q0, e, cap)
             steps += gs
-            hits_checked += hc
             if e is not None:
                 drained += 1
-            if key is not None:
-                return SolveResult(
-                    key, steps, time.time() - t0, drained, hits_checked
-                )
-            if e is not None:
-                if on_epoch is not None:
-                    on_epoch(e, steps)
-                if progress is not None:
-                    progress(e + 1, total_epochs, steps, time.time() - t0)
+                cb_queue.append((e, steps))
+            if batch:
+                if not pending:
+                    first_pending = drained
+                pending.extend(batch)
+            scan_done = not (may_dispatch() or inflight or pending_flush())
+            if pending and (scan_done or drained - first_pending >= defer):
+                key, hc = self._verify(pending, pk, pke)
+                hits_checked += hc
+                pending = []
+                if key is not None:
+                    return SolveResult(
+                        key, steps, time.time() - t0, drained, hits_checked
+                    )
+            if not pending:
+                fire_callbacks()
         return SolveResult(None, steps, time.time() - t0, drained,
                            hits_checked)

@@ -374,6 +374,12 @@ def _chunk_scatter(hi, lo, dense, counts, base, *, htsz: int, window: int):
     valid = rank < _U32(window)
     row = jnp.where(valid, sb, _U32(1 << htsz))  # OOB row -> drop
     col = jnp.where(valid, rank, _U32(0))
+    # NOTE on chunk sizing: XLA materializes this 2-D scatter's (m, 2)
+    # index tensor padded 64x to lane tiles (~512 B per element of HLO
+    # temp — an 8 GiB temp at chunk=2^24, measured OOM next to a big
+    # dense). A flat 1-D scatter avoids the pad but forces an equally
+    # large relayout copy at the 1-D<->2-D reshape. Hence big builds use
+    # chunk=2^21 (1 GiB temp) — see build_baby_table_streamed.
     dense = dense.at[row, col].set(sd, mode="drop")
     counts = counts.at[sb].add(_U32(1))
     slot = jnp.where(valid, sb * _U32(window) + rank, _U32(0))
@@ -438,7 +444,7 @@ def build_baby_table_streamed(
     htsz: Optional[int] = None,
     window: int = DEVICE_WINDOW,
     tile: int = 1 << 20,
-    chunk: int = 1 << 24,
+    chunk: int = 1 << 21,
     positions: str = "auto",
 ) -> BabyTable:
     """Big-w device build: the dense matrix is filled chunk by chunk so
@@ -541,6 +547,7 @@ def _chunk_scatter_shard(hi, lo, dense, counts, base, row0,
     valid = mine & (rank < _U32(window))
     row = jnp.where(valid, local, _U32(bps))  # OOB row -> drop
     col = jnp.where(valid, rank, _U32(0))
+    # 2-D scatter; see _chunk_scatter's chunk-sizing note
     dense = dense.at[row, col].set(sd, mode="drop")
     counts = counts.at[jnp.where(mine, local, _U32(bps))].add(
         _U32(1), mode="drop"
@@ -554,7 +561,7 @@ def build_baby_table_streamed_sharded(
     mesh=None,
     window: int = DEVICE_WINDOW,
     tile: int = 1 << 20,
-    chunk: int = 1 << 24,
+    chunk: int = 1 << 21,
     positions: str = "rescan",
 ) -> BabyTable:
     """Streamed big-w build DIRECTLY into bucket-range shards across a

@@ -293,7 +293,10 @@ class MeshSolver(ssolver.Solver):
     def _redispatch(self, q0, epoch: int, cap: int):
         return self._dispatch(q0, epoch, hit_cap=cap)
 
-    def _drain(self, pub, pk: int, pke: int, rec):
+    def _collect(self, pub, pk: int, rec):
+        """Decode one super-epoch's hit buffers (all chips) into records;
+        verification happens in the shared solve loop, pooled across
+        chips AND deferred epochs (one rescan regeneration per batch)."""
         cfg = self.cfg
         _, first_job, buf, cnt, gs = rec
         cnt = np.asarray(cnt)
@@ -319,14 +322,7 @@ class MeshSolver(ssolver.Solver):
                 )
                 for flat in recs
             )
-        if not batch:
-            return None, gs, 0
-        # pooled across chips AND hits: one rescan regeneration per drain
-        keys, hits_checked = checker.verify_hits_batched(batch, self.baby)
-        for k in keys:
-            if pk <= k <= pke:
-                return k, gs, hits_checked
-        return None, gs, hits_checked
+        return batch, gs
 
     def _total_epochs(self, pk: int, pke: int) -> int:
         cfg = self.cfg

@@ -41,9 +41,31 @@ import jax
 # builder at this size (keeps peak HBM at dense + one chunk).
 STREAMED_MIN_W = 1 << 28
 
-# Fraction of HBM the steady-state scan working set may use; the rest
-# covers XLA scratch, hit buffers, and the build-time peak.
-_SCAN_BUDGET = 0.70
+# HBM held back from the steady-state scan working set for XLA scratch,
+# hit buffers, and build transients beyond the table itself. Absolute
+# (not a fraction): the w=2^31 configuration measured on v5e runs with
+# ~2.7 GiB of true headroom (PROFILE_r05).
+_RESERVE_BYTES = int(2.5 * (1 << 30))
+
+
+def dense_layout(w: int, window: int = 128):
+    """(htsz, window) of the dense device table for a given w.
+
+    Small tables use the standard (load ~window/2, 128-lane) shape.
+    Streamed big-w tables use 512-lane rows at load ~384: HBM tiles the
+    lane dim to multiples of 128 (a 192-wide row silently COSTS 256
+    lanes, measured as a 16 GiB OOM at htsz=24 — PROFILE_r05 §5), and
+    2 KB rows gather at the same issue-bound ns/row as 512 B ones while
+    bigger buckets concentrate relatively tighter (lambda=384 on a
+    512-slot row is 6.5 sigma of Poisson headroom vs 5.7 for 64-on-128)
+    — ~4.7 B/key, which is what pushes single-chip w to 1.5 * 2^30.
+    The builders still verify max load exactly and refuse on overflow.
+    """
+    from ..models import table as tbl
+
+    if w >= STREAMED_MIN_W and window == 128:
+        return max(4, min(31, (w // 384 - 1).bit_length())), 512
+    return tbl.pick_htsz(w, window), window
 
 
 @dataclasses.dataclass
@@ -115,11 +137,9 @@ def tune(mem_bytes: int | None = None, range_bits: int | None = None,
     gather-issue-bound probes want n_split independent streams and a
     pipeline >= 3 to hide host drains; larger N only adds HBM pressure.
     """
-    from ..models import table as tbl
-
     if mem_bytes is None:
         mem_bytes = device_memory_bytes()
-    budget = int(mem_bytes * _SCAN_BUDGET)
+    budget = mem_bytes - _RESERVE_BYTES
 
     n_offsets = 1 << 18
     jobs = 8
@@ -129,8 +149,8 @@ def tune(mem_bytes: int | None = None, range_bits: int | None = None,
     w = 1 << 20
     while True:
         w2 = w << 1
-        htsz2 = tbl.pick_htsz(w2, window)
-        table_b2 = (1 << htsz2) * window * 4
+        htsz2, window2 = dense_layout(w2, window)
+        table_b2 = (1 << htsz2) * window2 * 4
         build_peak2 = table_b2 + (
             (1 << 24) * 24 * 2 if w2 >= STREAMED_MIN_W else w2 * 24 * 2
         )
@@ -141,11 +161,19 @@ def tune(mem_bytes: int | None = None, range_bits: int | None = None,
         if w2 > (1 << 32):
             break
         w = w2
+    # power-of-two doubling leaves up to 2x of HBM unused at the top:
+    # try the 1.5x midpoint before settling (1.5 * 2^30 is the v5e max)
+    w15 = w + w // 2
+    htsz15, window15 = dense_layout(w15, window)
+    t15 = (1 << htsz15) * window15 * 4
+    if (w >= STREAMED_MIN_W and t15 + offsets_b + transient_b <= budget
+            and w15 <= (1 << 32)):
+        w = w15
     if range_bits is not None:
         # no point making the baby table bigger than sqrt(range)
         w = min(w, 1 << max(10, (range_bits + 1) // 2))
 
-    htsz = tbl.pick_htsz(w, window)
+    htsz, window = dense_layout(w, window)
     streamed = w >= STREAMED_MIN_W
     table_b = (1 << htsz) * window * 4
     build_peak = table_b + (

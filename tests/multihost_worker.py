@@ -34,13 +34,17 @@ def main():
     assert len(jax.devices()) == 4 * nproc, jax.devices()
     assert len(jax.local_devices()) == 4
 
+    # FUSED config (round-4 item 7): the shard_map Pallas epoch body
+    # (interpret mode on CPU) must cross process boundaries, phases and
+    # all — not fall back to the row-major XLA body.
     cfg = smod.SolverConfig(
-        w=64, htsz=4, n_offsets=8, jobs_per_epoch=2, window=16, chunk=8,
-        hit_cap=64, table_tile=32, pipeline=2,
+        w=64, htsz=6, n_offsets=256, jobs_per_epoch=2, fused=True,
+        chunk_c=2, lanes_w=128, hit_cap=128, table_tile=32, pipeline=2,
     )
     s = smod.Solver(cfg)
     ms = striped.MeshSolver(s, pmesh.make_mesh())
     assert ms.n_chips == 4 * nproc
+    assert ms.fused and ms._phases == 2, (ms.fused, ms._phases)
 
     pk = 1 << 21
     k = pk + 50_000

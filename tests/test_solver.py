@@ -185,6 +185,81 @@ def test_drain_batches_rescan_lookups():
     assert calls["single"] == 0
 
 
+def _plant_fp(baby, cfg, q0, m):
+    """Insert a false-positive probe entry for giant index m's landing."""
+    import jax.numpy as jnp
+    from bsgs_tpu.models import table as tbl
+
+    dense = np.asarray(baby.dense).copy()
+    landing = ecpy.sub(q0, ecpy.mul(m * cfg.stride))
+    pre = landing[0] & ((1 << 64) - 1)
+    bucket = pre >> (64 - cfg.htsz)
+    disc = (pre >> (32 - cfg.htsz)) & 0xFFFFFFFF
+    free = np.where(dense[bucket] == tbl.DENSE_FILL)[0]
+    dense[bucket, free[0]] = np.uint32(disc)
+    baby.dense = jnp.asarray(dense)
+
+
+def test_deferred_verification_pools_epochs():
+    """On rescan tables, hits from SEVERAL epochs pool into ONE
+    verification pass (PROFILE_r05 §6: per-drain verification at big w
+    pays a ~w/43.6M-second regeneration per false positive — measured
+    50x throughput collapse), and checkpoint callbacks trail
+    verification so resume never skips an unverified epoch."""
+    from bsgs_tpu.models import table as tbl
+
+    cfg = solver.SolverConfig(
+        w=256, htsz=6, n_offsets=8, jobs_per_epoch=2, window=16,
+        chunk=16, table_tile=64, positions="rescan",
+    )
+    baby = tbl.build_baby_table_streamed(
+        256, 6, window=16, tile=32, chunk=64, positions="rescan"
+    )
+    s = solver.Solver(cfg, baby=baby)
+    pk = 1 << 21
+    k = pk + 3 * cfg.keys_per_epoch + 1000  # real key in epoch 3
+    pub = ecpy.mul(k)
+    q0 = ecpy.sub(pub, ecpy.mul(pk))
+    _plant_fp(baby, cfg, q0, 5)   # epoch 0 false positive
+    _plant_fp(baby, cfg, q0, 70)  # epoch 2 false positive
+
+    calls = {"batch": 0}
+    orig = baby.lookup_fn
+
+    def counting(pre):
+        return orig(pre)
+
+    def counting_batch(pres):
+        calls["batch"] += 1
+        return orig.batch(pres)
+
+    counting.batch = counting_batch
+    baby.lookup_fn = counting
+
+    fired = []
+    res = s.solve(pub, pk, pk + 4 * cfg.keys_per_epoch - 1,
+                  on_epoch=lambda e, st: fired.append(e))
+    assert res.key == k
+    assert res.hits_checked >= 3  # 2 planted fps + the real key
+    assert calls["batch"] == 1, "all epochs' hits must share one pass"
+    # checkpoint callbacks trail verification: none may fire while hits
+    # are pending, and the key returned before any could fire
+    assert fired == []
+
+    # defer=0 keeps the immediate-verification semantics
+    import dataclasses
+
+    cfg0 = dataclasses.replace(cfg, verify_defer_epochs=0)
+    s0 = solver.Solver(cfg0, baby=baby)
+    calls["batch"] = 0
+    fired0 = []
+    res0 = s0.solve(pub, pk, pk + 4 * cfg.keys_per_epoch - 1,
+                    on_epoch=lambda e, st: fired0.append(e))
+    assert res0.key == k
+    assert calls["batch"] >= 2  # per-drain verification
+    assert fired0 == [0, 1, 2]  # epochs before the key's fired in order
+
+
 def test_random_keys(rng):
     s = get_solver()
     pk = 10_000_000

@@ -146,3 +146,21 @@ def test_probe_respects_bucket_boundaries(rng):
     lo = jnp.asarray([(222 << 28) & 0xFFFFFFFF], dtype=jnp.uint32)
     found = np.asarray(T.probe(hi, lo, tab.dense, htsz=htsz))
     assert not found[0]
+
+
+def test_dense512_layout_build_and_probe(rng):
+    """The big-w dense layout (lambda~384 on 512-lane rows — 2 KB rows
+    measured gather-equal to 512 B on v5e, and lane-dim HBM tiling
+    forces window to multiples of 128; PROFILE_r05 §5) at a small-scale
+    analog: w/2^htsz = 384 exactly, streamed build, exact probe."""
+    w, htsz = 6144, 4  # mean bucket load 384 on a 512-wide row
+    st = T.build_baby_table_streamed(w, htsz, window=512, tile=32,
+                                     chunk=4096)
+    counts = np.diff(np.asarray(st.offsets).astype(np.int64))
+    assert counts.mean() == 384.0 and counts.max() <= 512
+    xs = [ecpy.mul(r)[0] for r in range(1, 257)]
+    xl = jnp.asarray(F.to_limbs_batch(xs))
+    assert np.asarray(T.probe_x(xl, st)).all()
+    ks = [int(rng.integers(w + 1, 1 << 60)) for _ in range(64)]
+    xl = jnp.asarray(F.to_limbs_batch([ecpy.mul(k)[0] for k in ks]))
+    assert not np.asarray(T.probe_x(xl, st)).any()
