@@ -119,17 +119,18 @@ def main():
     dt = res.giant_steps / rate
 
     # Stage 5 — production-scale stanza (round-4 item 6): the tuner's own
-    # 16 GiB suggestion, w = 1.5 * 2^30 on 2 KB rows (PROFILE_r05 §5),
-    # streamed rescan build. Regression-guards the big-w path that was
-    # previously prose-only.
+    # 16 GiB suggestion (w=2^30, rescan + uint16 hint verification,
+    # PROFILE_r05 §5-6), streamed build. Regression-guards the big-w
+    # path that was previously prose-only.
     big = None
     if (os.environ.get("BENCH_BIG", "1") == "1"
             and jax.default_backend() == "tpu"):
         from bsgs_tpu.models import table as tbl
 
-        del s, baby  # free the w=2^26 working set before the 8 GiB build
-        # the tuner's own 16 GiB pick: 512-lane rows at load 384
-        big_w, big_htsz, big_window = (1 << 30) + (1 << 29), 22, 512
+        del s, baby  # free the w=2^26 working set before the 13 GiB build
+        # the tuner's own 16 GiB pick: w=2^30 on 128-lane rows with the
+        # uint16 verification hints (keys/s optimum, PROFILE_r05 §5)
+        big_w, big_htsz, big_window = 1 << 30, 24, 128
         t0 = time.time()
         bbaby = tbl.build_baby_table_streamed(
             big_w, big_htsz, window=big_window, positions="rescan"
@@ -152,7 +153,7 @@ def main():
             )
             brate = max(brate, bres.giant_steps / (time.time() - t0))
         big = {
-            "w_bits": 30.58,
+            "w_bits": 30,
             "htsz": big_htsz,
             "window": big_window,
             "build_s": round(t_big_build, 1),

@@ -156,7 +156,9 @@ def build_table(cfg: SolverConfig, mesh=None) -> tbl.BabyTable:
     """
     import jax
 
-    dense_bytes = (1 << cfg.htsz) * cfg.window * 4
+    # streamed rescan builds add the 2 B/slot uint16 verification hint
+    bytes_per_slot = 6 if cfg.w >= 1 << 28 else 4
+    dense_bytes = (1 << cfg.htsz) * cfg.window * bytes_per_slot
     if mesh is not None and mesh.devices.size > 1:
         check_table_fits(dense_bytes, n_shards=mesh.devices.size)
         return tbl.build_baby_table_streamed_sharded(

@@ -91,6 +91,10 @@ class BabyTable:
     # from host RAM entirely (no 8 B/key mirror); costs one w-point
     # regeneration pass per *hit*, and hits are rare.
     lookup_fn: Optional[object] = None
+    # streamed rescan builds: slot-aligned low 8 bits of each entry's
+    # baby position (uint8, (2^htsz, window)); make_strided_lookup uses
+    # it to narrow a hit's position to one mod-256 residue class
+    pos_lo: Optional[jnp.ndarray] = None
     # build_baby_table_streamed_sharded: dense is a GLOBAL jax.Array
     # bucket-range-sharded over this many mesh chips (each holds
     # 2^htsz / n rows); the full matrix never exists on one device.
@@ -216,12 +220,13 @@ def pick_htsz(w: int, window: int = DEVICE_WINDOW) -> int:
 # Prefix generation (device tiles)
 
 
-def _prefix_tiles(w: int, tile: int):
-    """Yield (hi, lo) uint32 device arrays of X prefixes of 1G..wG, tile by
-    tile (each at most ``tile`` long)."""
+def _prefix_tiles(w: int, tile: int, first: int = 1, stride: int = 1):
+    """Yield (hi, lo) uint32 device arrays of X prefixes of the points
+    (first + i*stride)G, i = 0..w-1, tile by tile (each at most ``tile``
+    long). Defaults cover 1G..wG (the baby stream)."""
     tile = min(tile, 1 << max(1, (w - 1).bit_length()))
-    bx, by = ec.fill_multiples(ecpy.G, ecpy.G, tile)
-    step = ecpy.mul(tile)
+    bx, by = ec.fill_multiples(ecpy.mul(first), ecpy.mul(stride), tile)
+    step = ecpy.mul(tile * stride)
     cx, cy = jnp.asarray(F.to_limbs(step[0])), jnp.asarray(F.to_limbs(step[1]))
     d2 = ecpy.dbl(step)
     dx, dy = jnp.asarray(F.to_limbs(d2[0])), jnp.asarray(F.to_limbs(d2[1]))
@@ -236,19 +241,21 @@ def _prefix_tiles(w: int, tile: int):
             bx, by, _ = ec.extend_tile(bx, by, cx, cy, dx, dy)
 
 
-def _prefix_tiles_planar(w: int, tile: int, interpret: bool = False):
+def _prefix_tiles_planar(w: int, tile: int, interpret: bool = False,
+                         first: int = 1, stride: int = 1):
     """Planar-Pallas twin of _prefix_tiles: yields (hi, lo) (1, take) uint32
-    prefix planes of 1G..wG tile by tile, with the tile advance running in
-    the fused add-const kernel (ops/epoch_kernel.add_const_planar) instead
-    of row-major XLA EC ops — the generation hot loop at ~20x the
-    throughput. Requires tile (power of two) >= 2048 lanes."""
+    prefix planes of (first + i*stride)G tile by tile, with the tile
+    advance running in the fused add-const kernel
+    (ops/epoch_kernel.add_const_planar) instead of row-major XLA EC ops —
+    the generation hot loop at ~20x the throughput. Requires tile (power
+    of two) >= 2048 lanes."""
     from ..ops import epoch_kernel as EK, planar as PL
 
     tile = min(tile, 1 << max(11, (w - 1).bit_length()))
     assert tile >= 2048 and tile & (tile - 1) == 0, tile
-    xs, ys = EK.fill_multiples_planar(ecpy.G, ecpy.G, tile,
-                                      interpret=interpret)
-    step = ecpy.mul(tile)
+    xs, ys = EK.fill_multiples_planar(ecpy.mul(first), ecpy.mul(stride),
+                                      tile, interpret=interpret)
+    step = ecpy.mul(tile * stride)
     cxc = jnp.asarray(PL.const_col(step[0]))
     cyc = jnp.asarray(PL.const_col(step[1]))
     prefix_fn = jax.jit(PL.x_prefix64)
@@ -353,20 +360,39 @@ def build_baby_table_device(
 # Streamed big-w build: incremental scatter, O(chunk) extra device memory
 
 
-@partial(jax.jit, static_argnames=("htsz", "window"), donate_argnums=(2, 3))
-def _chunk_scatter(hi, lo, dense, counts, base, *, htsz: int, window: int):
+def _disc_lo_shift(htsz: int) -> tuple[int, int]:
+    """(shift, mask) extracting up to 8 prefix bits just below the 54
+    (htsz+32) the dense entry certifies: the 64-bit prefix's low
+    32 - htsz bits are otherwise DISCARDED, and storing 8 of them in the
+    hint word lets verification reject probe false positives without any
+    regeneration (PROFILE_r05 §6)."""
+    spare = 32 - htsz
+    take = min(8, max(0, spare))
+    return spare - take, (1 << take) - 1
+
+
+@partial(jax.jit, static_argnames=("htsz", "window"),
+         donate_argnums=(2, 3, 4))
+def _chunk_scatter(hi, lo, dense, counts, hint, base, *, htsz: int,
+                   window: int):
     """Insert one chunk of prefixes into the incremental dense matrix.
 
     rank-in-bucket = running bucket fill (counts) + rank within the chunk
     (sort by bucket, then index minus segment start). Overflowing entries
     (rank >= window) get an out-of-bounds row and are DROPPED by the
-    scatter; the builder checks counts.max() afterwards. Returns the
-    donated (dense, counts) plus (slot, pos) for the host position mirror.
+    scatter; the builder checks counts.max() afterwards. ``hint`` is the
+    slot-aligned uint16 verification hint: low byte = position & 0xFF
+    (the mod-256 residue make_strided_lookup regenerates), high byte =
+    8 extra prefix bits below the stored disc (false-positive filter).
+    Returns the donated (dense, counts, hint) plus (slot, pos) for the
+    host position mirror.
     """
     m = hi.shape[0]
     bucket, disc = bucket_disc(hi, lo, htsz)
+    sh, mk = _disc_lo_shift(htsz)
+    dlo = (lo >> _U32(sh)) & _U32(mk)
     pos = base + jnp.arange(1, m + 1, dtype=_U32)
-    sb, sd, sp = jax.lax.sort((bucket, disc, pos), num_keys=1)
+    sb, sd, sp, sdlo = jax.lax.sort((bucket, disc, pos, dlo), num_keys=1)
     idx = jnp.arange(m, dtype=_U32)
     is_start = jnp.concatenate([jnp.ones(1, bool), sb[1:] != sb[:-1]])
     seg_start = jax.lax.cummax(jnp.where(is_start, idx, _U32(0)))
@@ -379,33 +405,114 @@ def _chunk_scatter(hi, lo, dense, counts, base, *, htsz: int, window: int):
     # temp — an 8 GiB temp at chunk=2^24, measured OOM next to a big
     # dense). A flat 1-D scatter avoids the pad but forces an equally
     # large relayout copy at the 1-D<->2-D reshape. Hence big builds use
-    # chunk=2^21 (1 GiB temp) — see build_baby_table_streamed.
+    # small chunks — see build_baby_table_streamed.
     dense = dense.at[row, col].set(sd, mode="drop")
+    hint = hint.at[row, col].set(
+        ((sp & _U32(0xFF)) | (sdlo << _U32(8))).astype(jnp.uint16),
+        mode="drop",
+    )
     counts = counts.at[sb].add(_U32(1))
     slot = jnp.where(valid, sb * _U32(window) + rank, _U32(0))
-    return dense, counts, valid, slot, sp
+    return dense, counts, hint, valid, slot, sp
+
+
+# Up to 16 matching indices are returned per generated tile. The
+# CSR/mirror lookup paths walk ALL duplicates; here the stream is
+# matched on the full 64-bit prefix, so >16 duplicates inside one
+# 2^20-point tile would need ~2^-64 collisions 17 times over —
+# beyond astronomically unlikely (the birthday bound for even TWO
+# 64-bit duplicates in a tile is ~2^-25).
+@jax.jit
+def _match(hi, lo, th, tl):
+    m = (hi.reshape(-1) == th) & (lo.reshape(-1) == tl)
+    idx, = jnp.nonzero(m, size=16, fill_value=-1)
+    return idx
+
+
+def make_strided_lookup(w: int, dense, pos_lo, htsz: int,
+                        tile: int = 1 << 20):
+    """Position lookup via the slot-aligned uint16 verification hint
+    (``pos_lo``; low byte = position & 0xFF, high byte = 8 extra prefix
+    bits below the stored disc):
+
+    1. a probe false positive is rejected by comparing the hint's extra
+       prefix bits against the landing — two host row pulls, no
+       regeneration at all (the 54-bit probe certainty false-positives
+       every ~2.7 epochs at load 384; full-stream verification throttled
+       big-w scans 50x, PROFILE_r05 §6);
+    2. a surviving (62-bit-certain) hit narrows its baby index to
+       r ≡ r_lo (mod 256) and regenerates only that SUBSEQUENCE —
+       w/256 points (~0.2-0.5 s at w=1.5*2^30) instead of the full
+       stream (~90 s through the bench transport).
+
+    Costs 2 B/slot of HBM next to the 4 B/slot dense matrix. Candidates
+    are still confirmed by exact host EC in the checker — the hint only
+    prunes, never admits.
+    """
+    sh, mk = _disc_lo_shift(htsz)
+    has_filter = (
+        getattr(pos_lo, "dtype", None) == jnp.uint16 and mk > 0
+    )
+
+    def _residue_scan(pre64: int, r_lo: int):
+        first = r_lo if r_lo else 256
+        if first > w:
+            return []
+        count = (w - first) // 256 + 1
+        th = np.uint32(pre64 >> 32)
+        tl = np.uint32(pre64 & 0xFFFFFFFF)
+        gen = (
+            _prefix_tiles_planar(count, tile, first=first, stride=256)
+            if jax.default_backend() == "tpu" and count >= 2048
+            else _prefix_tiles(count, min(tile, 1 << 14), first=first,
+                               stride=256)
+        )
+        out = []
+        done = 0
+        for hi, lo in gen:
+            take = hi.shape[-1]
+            idx = np.asarray(_match(hi, lo, th, tl))
+            out.extend(
+                first + (done + int(i)) * 256
+                for i in idx if 0 <= i < take
+            )
+            done += take
+        return [r for r in out if 1 <= r <= w]
+
+    def lookup(pre64: int) -> list:
+        pre64 = int(pre64) & ((1 << 64) - 1)
+        bucket = pre64 >> (64 - htsz)
+        disc = np.uint32((pre64 >> (32 - htsz)) & 0xFFFFFFFF)
+        row = np.asarray(dense[bucket])
+        plo = np.asarray(pos_lo[bucket])
+        want_dlo = (pre64 >> sh) & mk
+        r_los = set()
+        for p, dd in zip(plo, row):
+            if dd != disc:
+                continue
+            if has_filter and (int(p) >> 8) != want_dlo:
+                continue  # 8 extra prefix bits mismatch: rejected free
+            r_los.add(int(p) & 0xFF)
+        res = []
+        for r_lo in sorted(r_los):
+            res.extend(_residue_scan(pre64, r_lo))
+        return sorted(set(res))
+
+    def lookup_many(pres) -> dict:
+        return {p: lookup(p) for p in pres}
+
+    lookup.batch = lookup_many
+    return lookup
 
 
 def make_rescan_lookup(w: int, tile: int = 1 << 20):
     """Position lookup for mirror-less big-w tables: regenerate the baby
     prefix stream on device tile by tile and return every index whose full
     64-bit prefix matches. One call costs a w-point generation pass
-    (~43.6 M pts/s on v5e), paid only when a HIT needs verification —
-    hits are rare, and this removes the 8 B/key host mirror (and its
-    host-link transfer) from the build entirely.
+    (~43.6 M pts/s on v5e), paid only when a HIT needs verification.
+    Superseded by make_strided_lookup (pos_lo hint) for new builds; kept
+    for artifacts that predate the hint array.
     """
-
-    # Up to 16 matching indices are returned per generated tile. The
-    # CSR/mirror lookup paths walk ALL duplicates; here the stream is
-    # matched on the full 64-bit prefix, so >16 duplicates inside one
-    # 2^20-point tile would need ~2^-64 collisions 17 times over —
-    # beyond astronomically unlikely (the birthday bound for even TWO
-    # 64-bit duplicates in a tile is ~2^-25).
-    @jax.jit
-    def _match(hi, lo, th, tl):
-        m = (hi.reshape(-1) == th) & (lo.reshape(-1) == tl)
-        idx, = jnp.nonzero(m, size=16, fill_value=-1)
-        return idx
 
     def lookup_many(pres) -> dict:
         """Positions for MANY prefixes in ONE generation pass (the pass is
@@ -460,8 +567,10 @@ def build_baby_table_streamed(
       "mirror": ship (slot, position) per entry to a host (2^htsz, window)
         mirror during the build — O(12 B/key) over the host link (at
         w=2^30 that transfer dominated the round-4 measured build).
-      "rescan": no mirror; lookups regenerate the baby stream on device
-        (make_rescan_lookup) — build stays on-chip, host RAM freed.
+      "rescan": no mirror; lookups use the on-device low-8-bits position
+        hint (make_strided_lookup): a hit regenerates only the w/256
+        subsequence r ≡ r_lo (mod 256) — build stays on-chip, host RAM
+        freed, verification ~0.2 s instead of a full-stream pass.
       "auto": rescan at w >= 2^28, mirror below.
     """
     if htsz is None:
@@ -472,17 +581,19 @@ def build_baby_table_streamed(
     nb = 1 << htsz
     dense = jnp.full((nb, window), jnp.asarray(DENSE_FILL))
     counts = jnp.zeros((nb,), _U32)
+    pos8 = jnp.zeros((nb, window), jnp.uint16)
     pos_dense = np.zeros((nb, window), np.uint32) if mirror else None
     flat_pos = pos_dense.reshape(-1) if mirror else None
 
     buf_h, buf_l, have, base = [], [], 0, 0
 
     def flush():
-        nonlocal dense, counts, base, buf_h, buf_l, have
+        nonlocal dense, counts, pos8, base, buf_h, buf_l, have
         hi = jnp.concatenate(buf_h) if len(buf_h) > 1 else buf_h[0]
         lo = jnp.concatenate(buf_l) if len(buf_l) > 1 else buf_l[0]
-        dense, counts, valid, slot, sp = _chunk_scatter(
-            hi, lo, dense, counts, np.uint32(base), htsz=htsz, window=window
+        dense, counts, pos8, valid, slot, sp = _chunk_scatter(
+            hi, lo, dense, counts, pos8, np.uint32(base), htsz=htsz,
+            window=window
         )
         if mirror:
             s = np.asarray(slot)
@@ -521,7 +632,11 @@ def build_baby_table_streamed(
         w=w, htsz=htsz, window=window,
         offsets=offsets, disc_sorted=None, pos_sorted=None,
         dense=dense, sorted_pre=None, pos_dense=pos_dense,
-        lookup_fn=None if mirror else make_rescan_lookup(w, tile),
+        pos_lo=None if mirror else pos8,
+        lookup_fn=(
+            None if mirror
+            else make_strided_lookup(w, dense, pos8, htsz, tile)
+        ),
     )
 
 

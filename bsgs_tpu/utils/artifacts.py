@@ -69,14 +69,17 @@ def save_baby_table(table: tbl.BabyTable, path: str) -> None:
             offsets=np.asarray(table.offsets),
         )
     elif table.lookup_fn is not None:
-        # mirror-less streamed build: positions re-derive by device rescan
-        _atomic_savez(
-            path,
+        # mirror-less streamed build: positions re-derive by device
+        # rescan, narrowed by the pos_lo residue hint when present
+        arrays = dict(
             kind="streamed-rescan",
             w=table.w, htsz=table.htsz, window=table.window,
             dense=np.asarray(table.dense),
             offsets=np.asarray(table.offsets),
         )
+        if table.pos_lo is not None:
+            arrays["pos_lo"] = np.asarray(table.pos_lo)
+        _atomic_savez(path, **arrays)
     else:
         _atomic_savez(
             path,
@@ -126,6 +129,16 @@ def load_baby_table(path: str, spot_checks: int = 8,
                 f"< requested {window}; rebuild it (--gen-only) at the "
                 f"wider window — streamed tables cannot re-derive rows"
             )
+        dense = jnp.asarray(z["dense"])
+        pos_lo = jnp.asarray(z["pos_lo"]) if "pos_lo" in z else None
+        if kind == "streamed-rescan":
+            lookup_fn = (
+                tbl.make_strided_lookup(int(z["w"]), dense, pos_lo, htsz)
+                if pos_lo is not None
+                else tbl.make_rescan_lookup(int(z["w"]))
+            )
+        else:
+            lookup_fn = None
         table = tbl.BabyTable(
             w=int(z["w"]),
             htsz=htsz,
@@ -133,11 +146,11 @@ def load_baby_table(path: str, spot_checks: int = 8,
             offsets=z["offsets"],
             disc_sorted=None,
             pos_sorted=None,
-            dense=jnp.asarray(z["dense"]),
+            dense=dense,
             sorted_pre=None,
             pos_dense=z["pos_dense"] if kind == "streamed" else None,
-            lookup_fn=(tbl.make_rescan_lookup(int(z["w"]))
-                       if kind == "streamed-rescan" else None),
+            pos_lo=pos_lo,
+            lookup_fn=lookup_fn,
         )
     else:  # device CSR
         offsets = z["offsets"]

@@ -51,20 +51,19 @@ _RESERVE_BYTES = int(2.5 * (1 << 30))
 def dense_layout(w: int, window: int = 128):
     """(htsz, window) of the dense device table for a given w.
 
-    Small tables use the standard (load ~window/2, 128-lane) shape.
-    Streamed big-w tables use 512-lane rows at load ~384: HBM tiles the
-    lane dim to multiples of 128 (a 192-wide row silently COSTS 256
-    lanes, measured as a 16 GiB OOM at htsz=24 — PROFILE_r05 §5), and
-    2 KB rows gather at the same issue-bound ns/row as 512 B ones while
-    bigger buckets concentrate relatively tighter (lambda=384 on a
-    512-slot row is 6.5 sigma of Poisson headroom vs 5.7 for 64-on-128)
-    — ~4.7 B/key, which is what pushes single-chip w to 1.5 * 2^30.
-    The builders still verify max load exactly and refuse on overflow.
+    The 128-lane row at load ~window/2 is the keys/s optimum at every
+    scale, MEASURED against the denser alternatives (PROFILE_r05 §5):
+    HBM tiles the lane dim to multiples of 128 (a 192-wide row silently
+    COSTS 256 lanes — a 16 GiB OOM at htsz=24), and while 512-lane rows
+    at load 384 carry 1.3x more keys per slot (bigger buckets
+    concentrate relatively tighter — w = 1.5*2^30 built and scanned on
+    the chip), their 2 KB compare costs ~+7 ns/probe, which eats the w
+    gain: 33 M steps/s * 2^31.6 < 60 M * 2^31 effective keys/s. Callers
+    chasing max-w can still pass window=512 explicitly; the builders
+    verify max load exactly and refuse on overflow either way.
     """
     from ..models import table as tbl
 
-    if w >= STREAMED_MIN_W and window == 128:
-        return max(4, min(31, (w // 384 - 1).bit_length())), 512
     return tbl.pick_htsz(w, window), window
 
 
@@ -150,7 +149,10 @@ def tune(mem_bytes: int | None = None, range_bits: int | None = None,
     while True:
         w2 = w << 1
         htsz2, window2 = dense_layout(w2, window)
-        table_b2 = (1 << htsz2) * window2 * 4
+        # streamed rescan tables carry the 2 B/slot uint16 verification
+        # hint next to the 4 B/slot dense matrix (make_strided_lookup)
+        bps2 = 6 if w2 >= STREAMED_MIN_W else 4
+        table_b2 = (1 << htsz2) * window2 * bps2
         build_peak2 = table_b2 + (
             (1 << 24) * 24 * 2 if w2 >= STREAMED_MIN_W else w2 * 24 * 2
         )
@@ -165,7 +167,7 @@ def tune(mem_bytes: int | None = None, range_bits: int | None = None,
     # try the 1.5x midpoint before settling (1.5 * 2^30 is the v5e max)
     w15 = w + w // 2
     htsz15, window15 = dense_layout(w15, window)
-    t15 = (1 << htsz15) * window15 * 4
+    t15 = (1 << htsz15) * window15 * (6 if w15 >= STREAMED_MIN_W else 4)
     if (w >= STREAMED_MIN_W and t15 + offsets_b + transient_b <= budget
             and w15 <= (1 << 32)):
         w = w15
@@ -175,7 +177,7 @@ def tune(mem_bytes: int | None = None, range_bits: int | None = None,
 
     htsz, window = dense_layout(w, window)
     streamed = w >= STREAMED_MIN_W
-    table_b = (1 << htsz) * window * 4
+    table_b = (1 << htsz) * window * (6 if streamed else 4)
     build_peak = table_b + (
         (1 << 24) * 24 * 2 if streamed else w * 24 * 2
     )

@@ -164,3 +164,40 @@ def test_dense512_layout_build_and_probe(rng):
     ks = [int(rng.integers(w + 1, 1 << 60)) for _ in range(64)]
     xl = jnp.asarray(F.to_limbs_batch([ecpy.mul(k)[0] for k in ks]))
     assert not np.asarray(T.probe_x(xl, st)).any()
+
+
+def test_strided_lookup_exact_positions(rng):
+    """make_strided_lookup (pos_lo residue hint) must return exactly the
+    host build's positions — including r = 256 (residue 0) and r = 1 —
+    while regenerating only one mod-256 subsequence per hit
+    (PROFILE_r05 §6: the full-stream pass per false positive throttled
+    big-w scans 50x)."""
+    w, htsz = 512, 5
+    st = T.build_baby_table_streamed(w, htsz, window=32, tile=32,
+                                     chunk=128, positions="rescan")
+    assert st.pos_lo is not None and st.lookup_fn is not None
+    host = T.build_baby_table(w, htsz, window=32, tile=64)
+    for r in [1, 2, 7, 255, 256, 257, 511, 512]:
+        x = ecpy.mul(r)[0]
+        assert st.lookup_positions(x) == host.lookup_positions(x) == [r]
+    # non-member prefixes return nothing
+    for k in [w + 5, w + 999]:
+        assert st.lookup_positions(ecpy.mul(k)[0]) == []
+    # batch API: one dict, same answers
+    pres = {r: ecpy.mul(r)[0] & ((1 << 64) - 1) for r in (3, 256, 500)}
+    got = st.lookup_positions_batch(list(pres.values()))
+    for r, p in pres.items():
+        assert got[p] == [r]
+
+
+def test_strided_artifact_roundtrip(tmp_path):
+    from bsgs_tpu.utils import artifacts
+
+    st = T.build_baby_table_streamed(512, 5, window=32, tile=32,
+                                     chunk=128, positions="rescan")
+    path = str(tmp_path / "sr.npz")
+    artifacts.save_baby_table(st, path)
+    loaded = artifacts.load_baby_table(path, spot_checks=16)
+    assert loaded.pos_lo is not None
+    for r in [1, 256, 512]:
+        assert loaded.lookup_positions(ecpy.mul(r)[0]) == [r]

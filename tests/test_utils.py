@@ -248,14 +248,15 @@ def test_native_lib_builds():
 
 
 def test_tuner_big_w_layout():
-    """16 GiB suggests the 512-lane big-w layout at w = 1.5 * 2^30
-    (lambda=384; PROFILE_r05 §5 — lane tiling forbids 192-wide rows,
-    and 2 KB rows gather at the same issue-bound rate as 512 B)."""
+    """16 GiB suggests w=2^30 on 128-lane rows — measured keys/s optimum
+    (PROFILE_r05 §5: wider rows carry more keys per slot but their
+    compare cost eats the gain) — with the 6 B/slot hint accounting
+    (4 B dense + 2 B uint16 verification hint)."""
     t = tuner.tune(mem_bytes=16 << 30)
-    assert t.w == (1 << 30) + (1 << 29)
-    assert (t.htsz, t.window) == (22, 512)
-    assert t.w / (1 << t.htsz) == 384.0
+    assert t.w == 1 << 30
+    assert (t.htsz, t.window) == (24, 128)
     assert t.streamed_build
-    # 32 GiB reaches the reference's absolute max w (2^31.5)
+    assert t.est_table_bytes == (1 << 24) * 128 * 6
+    # twice the HBM doubles w
     t32 = tuner.tune(mem_bytes=32 << 30)
-    assert t32.w >= 3_000_000_000
+    assert t32.w == 1 << 31
