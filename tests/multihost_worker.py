@@ -38,8 +38,8 @@ def main():
     # (interpret mode on CPU) must cross process boundaries, phases and
     # all — not fall back to the row-major XLA body.
     cfg = smod.SolverConfig(
-        w=64, htsz=6, n_offsets=256, jobs_per_epoch=2, fused=True,
-        chunk_c=2, lanes_w=128, hit_cap=128, table_tile=32, pipeline=2,
+        w=64, htsz=6, n_offsets=128, jobs_per_epoch=2, fused=True,
+        chunk_c=1, lanes_w=128, hit_cap=128, table_tile=32, pipeline=2,
     )
     s = smod.Solver(cfg)
     ms = striped.MeshSolver(s, pmesh.make_mesh())
