@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="independent probe gather streams per epoch")
     p.add_argument("--pipeline", type=int, default=3,
                    help="epochs in flight before a host sync")
+    p.add_argument("--verify-defer-epochs", type=int, default=64,
+                   help="drains to pool before batch-verifying hits on "
+                   "rescan tables (checkpoints trail verification; "
+                   "0 = verify every drain)")
     p.add_argument("--devices", type=int, default=None,
                    help="number of chips to use (default: all)")
     p.add_argument("--device-ids", "-d", default=None,
@@ -184,6 +188,7 @@ def main(argv=None) -> int:
         jobs_per_epoch=args.jobs_per_epoch, window=window,
         n_split=args.n_split, pipeline=args.pipeline,
         positions=args.positions,
+        verify_defer_epochs=args.verify_defer_epochs,
     )
     fingerprint = ckpt.config_fingerprint(
         w=w, htsz=htsz, n_offsets=n_offsets, pk=pk, pke=pke,
