@@ -105,7 +105,7 @@ def main():
     # best estimates steady-state device throughput, median shows how
     # much of the headline is transport luck (round-4 review item 5).
     epochs = int(os.environ.get("BENCH_EPOCHS", "8"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
     rates = []
     for _ in range(reps):
         t0 = time.time()

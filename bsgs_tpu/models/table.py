@@ -641,17 +641,21 @@ def build_baby_table_streamed(
 
 
 @partial(jax.jit, static_argnames=("htsz", "window", "bps"),
-         donate_argnums=(2, 3))
-def _chunk_scatter_shard(hi, lo, dense, counts, base, row0,
+         donate_argnums=(2, 3, 4))
+def _chunk_scatter_shard(hi, lo, dense, counts, hint, base, row0,
                          *, htsz: int, window: int, bps: int):
     """_chunk_scatter for ONE bucket-range shard: identical rank logic,
     but only entries whose bucket lies in [row0, row0 + bps) land; the
     rest scatter to the OOB drop row. Runs on the shard's own device
-    (jit follows the donated dense/counts placement)."""
+    (jit follows the donated dense/counts placement). ``hint`` is the
+    shard's slice of the uint16 verification hint (same as
+    _chunk_scatter's)."""
     m = hi.shape[0]
     bucket, disc = bucket_disc(hi, lo, htsz)
+    sh, mk = _disc_lo_shift(htsz)
+    dlo = (lo >> _U32(sh)) & _U32(mk)
     pos = base + jnp.arange(1, m + 1, dtype=_U32)
-    sb, sd, sp = jax.lax.sort((bucket, disc, pos), num_keys=1)
+    sb, sd, sp, sdlo = jax.lax.sort((bucket, disc, pos, dlo), num_keys=1)
     idx = jnp.arange(m, dtype=_U32)
     is_start = jnp.concatenate([jnp.ones(1, bool), sb[1:] != sb[:-1]])
     seg_start = jax.lax.cummax(jnp.where(is_start, idx, _U32(0)))
@@ -664,10 +668,14 @@ def _chunk_scatter_shard(hi, lo, dense, counts, base, row0,
     col = jnp.where(valid, rank, _U32(0))
     # 2-D scatter; see _chunk_scatter's chunk-sizing note
     dense = dense.at[row, col].set(sd, mode="drop")
+    hint = hint.at[row, col].set(
+        ((sp & _U32(0xFF)) | (sdlo << _U32(8))).astype(jnp.uint16),
+        mode="drop",
+    )
     counts = counts.at[jnp.where(mine, local, _U32(bps))].add(
         _U32(1), mode="drop"
     )
-    return dense, counts
+    return dense, counts, hint
 
 
 def build_baby_table_streamed_sharded(
@@ -711,6 +719,10 @@ def build_baby_table_streamed_sharded(
     counts_s = [
         jax.device_put(jnp.zeros((bps + 1,), _U32), d) for d in devices
     ]
+    hint_s = [
+        jax.device_put(jnp.zeros((bps + 1, window), jnp.uint16), d)
+        for d in devices
+    ]
 
     buf_h, buf_l, have, base = [], [], 0, 0
 
@@ -721,9 +733,10 @@ def build_baby_table_streamed_sharded(
         for s, d in enumerate(devices):
             hs = jax.device_put(hi, d)
             ls = jax.device_put(lo, d)
-            dense_s[s], counts_s[s] = _chunk_scatter_shard(
-                hs, ls, dense_s[s], counts_s[s], np.uint32(base),
-                np.uint32(s * bps), htsz=htsz, window=window, bps=bps,
+            dense_s[s], counts_s[s], hint_s[s] = _chunk_scatter_shard(
+                hs, ls, dense_s[s], counts_s[s], hint_s[s],
+                np.uint32(base), np.uint32(s * bps),
+                htsz=htsz, window=window, bps=bps,
             )
         base += have
         buf_h, buf_l, have = [], [], 0
@@ -757,11 +770,14 @@ def build_baby_table_streamed_sharded(
     dense = jax.make_array_from_single_device_arrays(
         (nb, window), sharding, [d[:bps] for d in dense_s]
     )
+    pos_lo = jax.make_array_from_single_device_arrays(
+        (nb, window), sharding, [h[:bps] for h in hint_s]
+    )
     return BabyTable(
         w=w, htsz=htsz, window=window,
         offsets=offsets, disc_sorted=None, pos_sorted=None,
-        dense=dense, sorted_pre=None,
-        lookup_fn=make_rescan_lookup(w, tile),
+        dense=dense, sorted_pre=None, pos_lo=pos_lo,
+        lookup_fn=make_strided_lookup(w, dense, pos_lo, htsz, tile),
         n_table_shards=n,
     )
 
