@@ -41,7 +41,10 @@ BASELINE_GIANT_STEPS_PER_S = 3.5e8  # derived estimate, see module docstring
 # (BASELINE.json); scale down via env for smoke runs.
 W_BITS = int(os.environ.get("BENCH_W_BITS", "26"))
 N_OFFSETS = int(os.environ.get("BENCH_N_OFFSETS", str(1 << 18)))
-JOBS = int(os.environ.get("BENCH_JOBS", "8"))
+JOBS = int(os.environ.get("BENCH_JOBS", "16"))
+# 4 jobs per phase measured optimal across epoch sizes (68.2-69.2 M vs
+# 62 M at 8/phase and 54.7 M at 2/phase; 5-rep medians, PROFILE_r05 §3)
+PHASES = int(os.environ.get("BENCH_PHASES", str(max(1, JOBS // 4))))
 N_SPLIT = int(os.environ.get("BENCH_N_SPLIT", "8"))
 PIPELINE = int(os.environ.get("BENCH_PIPELINE", "3"))
 
@@ -65,7 +68,8 @@ def main():
     w = 1 << W_BITS
     cfg = smod.SolverConfig(
         w=w, n_offsets=N_OFFSETS, jobs_per_epoch=JOBS,
-        table_tile=1 << 18, n_split=N_SPLIT, pipeline=PIPELINE,
+        epoch_phases=PHASES, table_tile=1 << 18, n_split=N_SPLIT,
+        pipeline=PIPELINE,
     )
 
     # Stage 1 — kernel compile warmup at a SMALL w with the production
@@ -140,7 +144,7 @@ def main():
         bcfg = smod.SolverConfig(
             w=big_w, htsz=big_htsz, window=big_window,
             n_offsets=N_OFFSETS, jobs_per_epoch=JOBS,
-            n_split=N_SPLIT, pipeline=PIPELINE,
+            epoch_phases=PHASES, n_split=N_SPLIT, pipeline=PIPELINE,
         )
         bs = smod.Solver(bcfg, baby=bbaby)
         bpk = 1 << 60
@@ -175,6 +179,7 @@ def main():
                     "htsz": cfg.htsz,
                     "n_offsets": N_OFFSETS,
                     "jobs_per_epoch": JOBS,
+                    "epoch_phases": PHASES,
                     "n_split": N_SPLIT,
                     "pipeline": PIPELINE,
                     "epochs": epochs,
