@@ -201,3 +201,29 @@ def test_strided_artifact_roundtrip(tmp_path):
     assert loaded.pos_lo is not None
     for r in [1, 256, 512]:
         assert loaded.lookup_positions(ecpy.mul(r)[0]) == [r]
+
+
+def test_probe_rows_dma_matches_probe_keys(rng):
+    """The in-kernel DMA probe (ops/probe_kernel, the round-5 experiment
+    that proved the gather floor is hardware — PROFILE_r05 §1) must
+    answer exactly like the shipped XLA probe (interpret mode)."""
+    from bsgs_tpu.ops.probe_kernel import probe_rows_dma
+
+    htsz, window = 8, 128
+    m = 128 * 128
+    dense_h = rng.integers(0, 1 << 32, (1 << htsz, window)).astype(
+        np.uint32)
+    bucket = rng.integers(0, 1 << htsz, m).astype(np.uint32)
+    disc = np.where(
+        rng.random(m) < 0.5,
+        dense_h[bucket, rng.integers(0, window, m)],
+        rng.integers(0, 1 << 32, m).astype(np.uint32),
+    ).astype(np.uint32)
+    dense = jnp.asarray(dense_h)
+    want = np.asarray(T.probe_keys(jnp.asarray(bucket), jnp.asarray(disc),
+                                   dense))
+    got = np.asarray(probe_rows_dma(jnp.asarray(bucket),
+                                    jnp.asarray(disc), dense,
+                                    group=128, interpret=True))
+    np.testing.assert_array_equal(got, want)
+    assert want.sum() > 0  # planted members actually probed
